@@ -1,0 +1,135 @@
+"""Pre/post-norm Transformer encoder with declarative activation capture.
+
+Reference: ``models/transformer/transformer.py:11-173``. The reference's
+nn.Identity probe points (``identity1/identity2`` residual probes,
+``attn_identity``/``attn_raw_identity``) + name-matched forward hooks become an
+explicit ``capture`` argument: a static tuple of probe names such as
+``("layers_9.out", "layers_9.attn_raw")``; captured tensors are returned in a
+dict. Everything stays a pure function — no hook machinery, fully jittable.
+
+Probe names:
+    layers_{i}.out       — output sequence of encoder layer i
+    layers_{i}.attn      — post-softmax attention [bs, H, n, n]
+    layers_{i}.attn_raw  — pre-softmax (scaled) attention [bs, H, n, n]
+    layers_{i}.resid1    — attention residual sum before dropout (identity1)
+    layers_{i}.resid2    — mlp residual sum before dropout (identity2)
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional, Tuple
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from .attention import MultiHeadSelfAttention
+from .layers import MLP
+
+
+class EncoderLayer(nn.Module):
+    num_heads: int
+    embed_dim: int
+    dim_feedforward: int
+    dropout: Optional[float] = None
+    activation: str = "relu"
+    norm_eps: float = 1e-5
+    pre_norm: bool = True
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        seq: jnp.ndarray,
+        attn_mask: Optional[jnp.ndarray] = None,
+        deterministic: bool = True,
+    ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
+        attention = MultiHeadSelfAttention(
+            self.num_heads, self.embed_dim, self.dropout, dtype=self.dtype, name="attention"
+        )
+        mlp = MLP(
+            self.embed_dim,
+            self.dim_feedforward,
+            self.dropout,
+            self.activation,
+            dtype=self.dtype,
+            name="mlp",
+        )
+        norm1 = nn.LayerNorm(epsilon=self.norm_eps, dtype=self.dtype, name="norm1")
+        norm2 = nn.LayerNorm(epsilon=self.norm_eps, dtype=self.dtype, name="norm2")
+
+        def dropped(x):
+            if self.dropout and not deterministic:
+                return nn.Dropout(self.dropout, deterministic=False)(x)
+            return x
+
+        probes: Dict[str, jnp.ndarray] = {}
+        if self.pre_norm:
+            x, attn, attn_raw = attention(norm1(seq), attn_mask, deterministic)
+            probes["resid1"] = seq + x
+            seq = seq + dropped(x)
+            x = mlp(norm2(seq), deterministic)
+            probes["resid2"] = seq + x
+            seq = seq + dropped(x)
+        else:
+            x, attn, attn_raw = attention(seq, attn_mask, deterministic)
+            x = norm1(x)
+            probes["resid1"] = seq + x
+            seq = seq + dropped(x)
+            x = norm2(mlp(seq, deterministic))
+            probes["resid2"] = seq + x
+            seq = seq + dropped(x)
+        probes["attn"] = attn
+        probes["attn_raw"] = attn_raw
+        probes["out"] = seq
+        return seq, probes
+
+
+class Transformer(nn.Module):
+    """Encoder stack (transformer.py:96-173); final LayerNorm optional."""
+
+    num_encoder_layers: int = 12
+    num_heads: int = 8
+    embed_dim: int = 512
+    dim_feedforward: int = 2048
+    dropout: Optional[float] = None
+    activation: str = "relu"
+    final_norm: bool = True
+    norm_eps: float = 1e-5
+    pre_norm: bool = True
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        seq: jnp.ndarray,
+        attn_mask: Optional[jnp.ndarray] = None,
+        deterministic: bool = True,
+        capture: Tuple[str, ...] = (),
+    ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
+        captured: Dict[str, jnp.ndarray] = {}
+        norm = (
+            nn.LayerNorm(epsilon=self.norm_eps, dtype=self.dtype, name="norm")
+            if self.final_norm
+            else None
+        )
+        if not self.pre_norm and norm is not None:
+            seq = norm(seq)  # post-norm applies the final norm first (ref :146-153)
+        for i in range(self.num_encoder_layers):
+            seq, probes = EncoderLayer(
+                num_heads=self.num_heads,
+                embed_dim=self.embed_dim,
+                dim_feedforward=self.dim_feedforward,
+                dropout=self.dropout,
+                activation=self.activation,
+                norm_eps=self.norm_eps,
+                pre_norm=self.pre_norm,
+                dtype=self.dtype,
+                name=f"layers_{i}",
+            )(seq, attn_mask, deterministic)
+            for kind, value in probes.items():
+                probe_name = f"layers_{i}.{kind}"
+                if probe_name in capture:
+                    captured[probe_name] = value
+        if self.pre_norm and norm is not None:
+            seq = norm(seq)
+        return seq, captured
