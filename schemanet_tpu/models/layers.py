@@ -19,7 +19,8 @@ import jax.numpy as jnp
 
 ACTIVATIONS = {
     "relu": nn.relu,
-    "gelu": nn.gelu,
+    # exact (erf) gelu to match torch nn.GELU's default
+    "gelu": lambda x: nn.gelu(x, approximate=False),
     "glu": nn.glu,
     "swish": nn.swish,
     "sigmoid": nn.sigmoid,

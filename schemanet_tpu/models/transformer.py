@@ -85,7 +85,13 @@ class EncoderLayer(nn.Module):
 
 
 class Transformer(nn.Module):
-    """Encoder stack (transformer.py:96-173); final LayerNorm optional."""
+    """Encoder stack (transformer.py:96-173); final LayerNorm optional.
+
+    ``run(seq, start_layer, end_layer)`` executes a contiguous slice of the
+    stack — the functional replacement for the reference's hook-substitution
+    trick that re-enters the model with a replaced mid feature
+    (save_backbone_jit.py:78-90 cls_header trace).
+    """
 
     num_encoder_layers: int = 12
     num_heads: int = 8
@@ -98,24 +104,9 @@ class Transformer(nn.Module):
     pre_norm: bool = True
     dtype: jnp.dtype = jnp.float32
 
-    @nn.compact
-    def __call__(
-        self,
-        seq: jnp.ndarray,
-        attn_mask: Optional[jnp.ndarray] = None,
-        deterministic: bool = True,
-        capture: Tuple[str, ...] = (),
-    ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
-        captured: Dict[str, jnp.ndarray] = {}
-        norm = (
-            nn.LayerNorm(epsilon=self.norm_eps, dtype=self.dtype, name="norm")
-            if self.final_norm
-            else None
-        )
-        if not self.pre_norm and norm is not None:
-            seq = norm(seq)  # post-norm applies the final norm first (ref :146-153)
-        for i in range(self.num_encoder_layers):
-            seq, probes = EncoderLayer(
+    def setup(self):
+        self.layers = [
+            EncoderLayer(
                 num_heads=self.num_heads,
                 embed_dim=self.embed_dim,
                 dim_feedforward=self.dim_feedforward,
@@ -125,11 +116,47 @@ class Transformer(nn.Module):
                 pre_norm=self.pre_norm,
                 dtype=self.dtype,
                 name=f"layers_{i}",
-            )(seq, attn_mask, deterministic)
+            )
+            for i in range(self.num_encoder_layers)
+        ]
+        self.norm = (
+            nn.LayerNorm(epsilon=self.norm_eps, dtype=self.dtype, name="norm")
+            if self.final_norm
+            else None
+        )
+
+    def run(
+        self,
+        seq: jnp.ndarray,
+        attn_mask: Optional[jnp.ndarray] = None,
+        deterministic: bool = True,
+        capture: Tuple[str, ...] = (),
+        start_layer: int = 0,
+        end_layer: Optional[int] = None,
+    ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
+        end_layer = self.num_encoder_layers if end_layer is None else end_layer
+        captured: Dict[str, jnp.ndarray] = {}
+        if not self.pre_norm and self.norm is not None and start_layer == 0:
+            seq = self.norm(seq)  # post-norm applies the final norm first (ref :146-153)
+        for i in range(start_layer, end_layer):
+            seq, probes = self.layers[i](seq, attn_mask, deterministic)
             for kind, value in probes.items():
                 probe_name = f"layers_{i}.{kind}"
                 if probe_name in capture:
                     captured[probe_name] = value
-        if self.pre_norm and norm is not None:
-            seq = norm(seq)
+        if (
+            self.pre_norm
+            and self.norm is not None
+            and end_layer == self.num_encoder_layers
+        ):
+            seq = self.norm(seq)
         return seq, captured
+
+    def __call__(
+        self,
+        seq: jnp.ndarray,
+        attn_mask: Optional[jnp.ndarray] = None,
+        deterministic: bool = True,
+        capture: Tuple[str, ...] = (),
+    ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
+        return self.run(seq, attn_mask, deterministic, capture)
