@@ -1,0 +1,230 @@
+"""IR-Atlas: learnable per-class knowledge graphs + instance IR-Graph building.
+
+Functional re-design of reference ``schema_inference/graph/schema_net.py``.
+Parameters (flax param collection, names chosen so ``schema_net`` param-group
+regexes match like the reference's):
+
+* ``vertex_weights``  [K, V_max]
+* ``edge_weights``    [K, V_max, V_max]
+* ``vertex_attribute_weights`` / ``edge_attribute_weights``  [2, 1]
+
+``class_ingredients`` [K, V_max] (global code id per class slot) lives in the
+``buffers`` variable collection. The reference's per-class python dicts
+(schema_net.py:121-126) are replaced by dense gathers (ops/graph.py).
+
+The reference's no-grad ``normalize()`` projection — run before *every* train
+step and before eval (worker_schema_net.py:127,181) — is the pure function
+:func:`project_atlas_params` applied to the param tree outside autodiff.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ..ops import geometry, graph as graph_ops
+from ..ops.normalize import normalize_sum_clamp
+
+
+@dataclasses.dataclass(frozen=True)
+class AtlasConfig:
+    """ir_atlas YAML block (config/cifar_100/schema_net/...yaml:35-47)."""
+
+    num_vertices: int  # M, vocabulary size
+    num_classes: int
+    class_max_vertices: Optional[int] = None  # V_max (None -> M)
+    dist_alpha: float = 1.0
+    dist_pow: float = 2.0
+    feat_h: int = 14
+    feat_w: int = 14
+    constant_vertex_attr: Optional[Tuple[float, float]] = None
+    constant_edge_attr: Optional[Tuple[float, float]] = None
+    clamp_vertex_attn: Optional[float] = None
+    clamp_edge_attn: Optional[float] = None
+    remove_self_loop: bool = False
+    prune_node_threshold: Optional[float] = None
+    apply_normalize: bool = True
+    clamp_weights: bool = True
+
+    @property
+    def v_max(self) -> int:
+        return self.class_max_vertices or self.num_vertices
+
+    @classmethod
+    def from_cfg(cls, num_vertices: int, num_classes: int, ir_atlas_cfg: Dict[str, Any]):
+        known = {f.name for f in dataclasses.fields(cls)}
+        kwargs = {k: v for k, v in ir_atlas_cfg.items() if k in known}
+        for key in ("constant_vertex_attr", "constant_edge_attr"):
+            if kwargs.get(key) is not None:
+                kwargs[key] = tuple(kwargs[key])
+        return cls(num_vertices=num_vertices, num_classes=num_classes, **kwargs)
+
+
+def _trunc_normal_unit(key, shape, dtype=jnp.float32):
+    """trunc_normal(mean=.5, std=1/6, a=0, b=1) then row-sum normalise
+    (schema_net.py:108-112)."""
+    x = 0.5 + jax.nn.initializers.truncated_normal(stddev=1 / 6, lower=-3.0, upper=3.0)(
+        key, shape, dtype
+    )
+    x = jnp.clip(x, 0.0, 1.0)
+    s = jnp.sum(x, axis=-1, keepdims=True)
+    return jnp.where(s > 0, x / s, x)
+
+
+class SchemaAtlas(nn.Module):
+    """Atlas parameters + instance graph building (pure functions of inputs)."""
+
+    cfg: AtlasConfig
+    dtype: jnp.dtype = jnp.float32
+
+    def setup(self):
+        c = self.cfg
+        self.vertex_weights = self.param(
+            "vertex_weights", _trunc_normal_unit, (c.num_classes, c.v_max)
+        )
+        self.edge_weights = self.param(
+            "edge_weights", _trunc_normal_unit, (c.num_classes, c.v_max, c.v_max)
+        )
+        v_attr_init = (
+            jnp.full((2, 1), 0.5)
+            if c.constant_vertex_attr is None
+            else jnp.asarray(c.constant_vertex_attr, jnp.float32).reshape(2, 1)
+        )
+        e_attr_init = (
+            jnp.full((2, 1), 0.5)
+            if c.constant_edge_attr is None
+            else jnp.asarray(c.constant_edge_attr, jnp.float32).reshape(2, 1)
+        )
+        self.vertex_attribute_weights = self.param(
+            "vertex_attribute_weights", lambda key: v_attr_init
+        )
+        self.edge_attribute_weights = self.param(
+            "edge_attribute_weights", lambda key: e_attr_init
+        )
+        # class slot -> global code id; identity arange by default (V_max == M case)
+        self.class_ingredients = self.variable(
+            "buffers",
+            "class_ingredients",
+            lambda: jnp.broadcast_to(
+                jnp.arange(self.cfg.v_max, dtype=jnp.int32),
+                (self.cfg.num_classes, self.cfg.v_max),
+            ),
+        )
+
+    # -- atlas getters (differentiable renormalisation) ---------------------
+
+    def get_class_vertices(self, detach: bool = False) -> jnp.ndarray:
+        w = self.vertex_weights
+        if detach:
+            w = jax.lax.stop_gradient(w)
+        # normalize_sum_clamp(min=1e-5, detach_sum=True) (schema_net.py:144-150)
+        return normalize_sum_clamp(w, axis=-1, detach_sum=True, min_val=1e-5)
+
+    def get_class_edges(self, detach: bool = False) -> jnp.ndarray:
+        c = self.cfg
+        e = self.edge_weights
+        if detach:
+            e = jax.lax.stop_gradient(e)
+        if c.prune_node_threshold is not None:
+            # zero every edge touching a vertex below threshold; mask is
+            # gradient-gated via stop_gradient (schema_net.py:156-166)
+            v = jax.lax.stop_gradient(self.get_class_vertices(detach=True))
+            keep = (v > c.prune_node_threshold).astype(e.dtype)  # [K, V]
+            mask = keep[:, :, None] * keep[:, None, :]
+            e = e * jax.lax.stop_gradient(mask)
+        e = normalize_sum_clamp(e, axis=-1, detach_sum=True, min_val=0.0)
+        if c.remove_self_loop:
+            eye = jnp.eye(e.shape[-1], dtype=bool)[None]
+            e = jnp.where(eye, 0.0, e)
+        return e
+
+    def get_atlas(self, detach: bool = False) -> Dict[str, jnp.ndarray]:
+        return {
+            "class_vertices": self.get_class_vertices(detach),
+            "class_edges": self.get_class_edges(detach),
+            "class_ingredients": self.class_ingredients.value,
+        }
+
+    # -- instance graph building (prediction hot path) ----------------------
+
+    def __call__(
+        self, ingredients: jnp.ndarray, attn: jnp.ndarray, attn_cls: jnp.ndarray
+    ) -> Dict[str, jnp.ndarray]:
+        """ingredients [bs, L], attn [bs, L, L] raw, attn_cls [bs, L] raw ->
+        dense slot-space instance graphs (schema_net.py:377-399)."""
+        c = self.cfg
+        slots = graph_ops.compact_instance_slots(ingredients, num_codes=c.num_vertices)
+        vertices = graph_ops.instance_vertices(
+            slots, attn_cls, self.vertex_attribute_weights, c.clamp_vertex_attn
+        )
+        geo = geometry.pairwise_point_sim(c.feat_h, c.feat_w, c.dist_alpha, c.dist_pow)
+        edges = graph_ops.instance_edges(
+            slots,
+            attn,
+            geo,
+            self.edge_attribute_weights,
+            clamp_edge_attn=c.clamp_edge_attn,
+            remove_self_loop=c.remove_self_loop,
+        )
+        return {
+            "instance_ingredients": slots.codes,
+            "instance_vertices": vertices,
+            "instance_edges": edges,
+            "feat_mask": ~slots.mask,  # True = padding, like match.py:48-51
+            "num_slots": slots.num_slots,
+        }
+
+    # -- initialisation-path kernels -----------------------------------------
+
+    def feat_to_full_vertices(
+        self, ingredients: jnp.ndarray, attn_cls: jnp.ndarray
+    ) -> jnp.ndarray:
+        c = self.cfg
+        return graph_ops.feat_to_full_vertices(
+            ingredients,
+            attn_cls,
+            c.num_vertices,
+            self.vertex_attribute_weights,
+            c.clamp_vertex_attn,
+        )
+
+    def feat_to_limited_edges(
+        self, ingredients: jnp.ndarray, attn: jnp.ndarray, labels: jnp.ndarray
+    ) -> jnp.ndarray:
+        c = self.cfg
+        geo = geometry.pairwise_point_sim(c.feat_h, c.feat_w, c.dist_alpha, c.dist_pow)
+        return graph_ops.class_limited_edges(
+            ingredients,
+            attn,
+            geo,
+            labels,
+            self.class_ingredients.value,
+            self.edge_attribute_weights,
+            clamp_edge_attn=c.clamp_edge_attn,
+            remove_self_loop=c.remove_self_loop,
+        )
+
+
+def project_atlas_params(params: Dict[str, Any], cfg: AtlasConfig) -> Dict[str, Any]:
+    """The no-grad ``normalize()`` projection (schema_net.py:133-142), pure.
+
+    clamp attr weights to [0.01, 10]; clamp-min(0) + row-sum-normalise vertex
+    and edge weights; zero edge diagonals when remove_self_loop.
+    """
+    out = dict(params)
+    if cfg.clamp_weights:
+        for key in ("vertex_attribute_weights", "edge_attribute_weights"):
+            out[key] = jnp.clip(params[key], 0.01, 10.0)
+    if cfg.apply_normalize:
+        for key in ("vertex_weights", "edge_weights"):
+            w = jnp.maximum(out[key], 0.0)
+            s = jnp.sum(w, axis=-1, keepdims=True)
+            out[key] = jnp.where(jnp.isnan(w / s), 0.0, w / s)
+        if cfg.remove_self_loop:
+            eye = jnp.eye(out["edge_weights"].shape[-1], dtype=bool)[None]
+            out["edge_weights"] = jnp.where(eye, 0.0, out["edge_weights"])
+    return out

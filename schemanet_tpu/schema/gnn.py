@@ -1,0 +1,182 @@
+"""Graph matcher GNN (reference ``schema_inference/graph/gnn.py`` and
+``match.py``).
+
+The reference pads ragged instance graphs to the batch-max vertex count at
+every step (match.py:44-54); here instance graphs arrive already dense in
+static slot space (see ops/graph.py), so the GNN is one fixed-shape program.
+
+Exact semantics preserved:
+* embedding table has ``num_codes + 1`` rows; the last row is the zero-init
+  padding embedding (torch padding_idx);
+* GraphConv: feat <- ((E + E^T)/2 + I) @ feat, then Linear (gnn.py:20-31);
+* per layer: conv -> mask-fill padding to 0 -> LayerNorm -> activation
+  (gnn.py:41-46) — NOTE the LayerNorm runs *after* the mask fill, so padded
+  rows become act(LN(0)) = act(beta); they are re-zeroed by the vertex-weight
+  pooling, identical to the reference;
+* pooling: mean over the (padded) vertex axis of feat * vertex_weights, then a
+  final Linear (gnn.py:94-97).
+
+Known scale delta vs the reference (documented, not a bug): the pooling mean
+divides by the *static* slot count (L for instances, V_max for class graphs)
+whereas the reference divides by the batch-max ragged size — a per-batch
+scalar. Under from-scratch training the matcher absorbs the constant; the
+reference's batch-dependent scaling is not reproducible in a fixed-shape
+program (and arguably undesirable).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+
+class GraphConv(nn.Module):
+    out_dim: int
+    identity_proj: bool = False
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, edges: jnp.ndarray, feat: jnp.ndarray) -> jnp.ndarray:
+        # edges: [bs, n, n], feat: [bs, n, dim]
+        n = edges.shape[-1]
+        adj = (edges + jnp.swapaxes(edges, -1, -2)) / 2 + jnp.eye(n, dtype=edges.dtype)
+        feat = jnp.einsum("bnm,bmd->bnd", adj.astype(feat.dtype), feat)
+        if self.identity_proj:
+            return feat
+        return nn.Dense(
+            self.out_dim,
+            dtype=self.dtype,
+            kernel_init=nn.initializers.xavier_uniform(),
+            bias_init=nn.initializers.normal(stddev=1.0),  # ref: init.normal_(bias)
+            name="linear",
+        )(feat)
+
+
+class GNNLayer(nn.Module):
+    embed_dim: int
+    activation: str = "relu"
+    identity_proj: bool = False
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        edges: jnp.ndarray,
+        feat: jnp.ndarray,
+        feat_mask: Optional[jnp.ndarray] = None,  # [bs, n] True = padding
+    ) -> jnp.ndarray:
+        from ..models.layers import get_activation
+
+        feat = GraphConv(self.embed_dim, self.identity_proj, self.dtype, name="g_conv")(
+            edges, feat
+        )
+        if feat_mask is not None:
+            feat = jnp.where(feat_mask[..., None], 0.0, feat)
+        feat = nn.LayerNorm(dtype=self.dtype, name="norm")(feat)
+        return get_activation(self.activation)(feat)
+
+
+class GNN(nn.Module):
+    """Shared graph embedder for instance graphs and the class atlas."""
+
+    num_codes: int
+    embed_dim: int
+    num_layers: int
+    identity_proj: bool = False
+    activation: str = "relu"
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        nodes: jnp.ndarray,  # [bs, n] vertex weights
+        edges: jnp.ndarray,  # [bs, n, n]
+        ingredients: jnp.ndarray,  # [bs, n] int code ids (num_codes = padding)
+        feat_mask: Optional[jnp.ndarray] = None,
+    ) -> jnp.ndarray:
+        def embed_init(key, shape, dtype=jnp.float32):
+            # trunc_normal on real codes, zeros on the padding row (gnn.py:63-76)
+            table = jax.nn.initializers.truncated_normal(stddev=1.0, lower=-2.0, upper=2.0)(
+                key, shape, dtype
+            )
+            return table.at[self.num_codes].set(0.0)
+
+        table = self.param("embedding", embed_init, (self.num_codes + 1, self.embed_dim))
+        feat = jnp.take(table, ingredients, axis=0).astype(self.dtype)
+        for i in range(self.num_layers):
+            feat = GNNLayer(
+                self.embed_dim,
+                self.activation,
+                self.identity_proj,
+                self.dtype,
+                name=f"layers_{i}",
+            )(edges, feat, feat_mask)
+        feat = feat * nodes[..., None].astype(feat.dtype)
+        feat = feat.mean(axis=1)
+        feat = nn.Dense(
+            self.embed_dim,
+            dtype=self.dtype,
+            kernel_init=nn.initializers.normal(stddev=1.0),  # ref: init.normal_(fc.weight)
+            bias_init=nn.initializers.zeros,
+            name="fc",
+        )(feat)
+        return feat
+
+
+def similarity_fn(name: str):
+    """match.py:14-31 similarity registry."""
+
+    def cosine(a, b):
+        num = jnp.sum(a * b, axis=-1)
+        den = jnp.linalg.norm(a, axis=-1) * jnp.linalg.norm(b, axis=-1)
+        sim = num / jnp.maximum(den, 1e-12)
+        return (sim + 1) / 2
+
+    def euclidean(a, b):
+        return 1.0 / (1.0 + jnp.linalg.norm(a - b, axis=-1))
+
+    def inner_product(a, b):
+        return jnp.sum(a * b, axis=-1)
+
+    return {"cosine": cosine, "euclidean": euclidean, "inner_product": inner_product}[name]
+
+
+class Matcher(nn.Module):
+    """Embeds instance graphs and the K class graphs with one shared GNN;
+    logits[b, k] = similarity(instance_b, class_k) (match.py:33-76)."""
+
+    similarity: str
+    num_codes: int
+    embed_dim: int
+    num_layers: int
+    identity_proj: bool = False
+    activation: str = "relu"
+    dtype: jnp.dtype = jnp.float32
+
+    def setup(self):
+        self.gnn = GNN(
+            num_codes=self.num_codes,
+            embed_dim=self.embed_dim,
+            num_layers=self.num_layers,
+            identity_proj=self.identity_proj,
+            activation=self.activation,
+            dtype=self.dtype,
+        )
+
+    def __call__(self, instance: dict, atlas: dict) -> jnp.ndarray:
+        feat_instance = self.gnn(
+            nodes=instance["instance_vertices"],
+            edges=instance["instance_edges"],
+            ingredients=instance["instance_ingredients"],
+            feat_mask=instance.get("feat_mask"),
+        )  # [bs, dim]
+        feat_kg = self.gnn(
+            nodes=atlas["class_vertices"],
+            edges=atlas["class_edges"],
+            ingredients=atlas["class_ingredients"],
+        )  # [K, dim]
+        sim = similarity_fn(self.similarity)
+        return sim(feat_instance[:, None, :], feat_kg[None, :, :])  # [bs, K]

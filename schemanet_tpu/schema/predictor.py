@@ -1,0 +1,228 @@
+"""SchemaNet composite predictor — the end-to-end classified pipeline.
+
+Reference: ``schema_inference/graph/__init__.py`` (SchemaNetPredictor) +
+``schema_inference/utils/ingredient_model_wrapper.py``. The reference chains
+two TorchScript traces (backbone, discretization) with a CPU C++ graph build
+in between — a GPU->CPU->GPU round trip per iteration (SURVEY §3.3). Here the
+whole forward (frozen ViT -> VQ -> dense graph build -> GNN match) is ONE
+jitted XLA program; "frozen" is ``stop_gradient`` + optimizer masking, not a
+trace artifact.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ..models.vit import ViT, get_model
+from ..ops.vq import vq_encode
+from .atlas import AtlasConfig, SchemaAtlas
+from .gnn import Matcher
+
+
+class IngredientBackbone(nn.Module):
+    """Frozen backbone + VQ producing the ingredient interface
+    (ingredient_model_wrapper.py:43-69):
+
+        cls_token [bs, P, d], feat [bs, L, d], feat_origin [bs, L, d],
+        ingredients [bs, L], attn [bs, L, L], attn_cls [bs, L]
+
+    ``attn`` is the head-mean of the *raw pre-softmax* attention at the
+    extraction layer; the CLS row/patch block are split out. The codebook is a
+    param of this module (named ``vocabulary`` like the reference's
+    discretization embedding).
+    """
+
+    backbone: ViT
+    num_codes: int
+    code_dim: int
+    encode_layer: int  # VQ applies to the output of layers_{encode_layer}
+    extract_layer: Optional[int] = None  # raw-attention source (default: encode_layer)
+    quantize: bool = True
+    detach_input_seq: bool = True
+    uniform_range: Tuple[float, float] = (-1.0, 1.0)
+
+    def setup(self):
+        lo, hi = self.uniform_range
+        self.vocabulary = self.param(
+            "vocabulary",
+            lambda key, shape: jax.random.uniform(key, shape, minval=lo, maxval=hi),
+            (self.num_codes, self.code_dim),
+        )
+
+    def __call__(self, img: jnp.ndarray, quantize: Optional[bool] = None) -> Dict[str, jnp.ndarray]:
+        extract = self.extract_layer if self.extract_layer is not None else self.encode_layer
+        capture = (f"layers_{extract}.attn_raw",)
+        # frozen: run under stop_gradient (the reference loads no-grad traces)
+        mid_feat, captured = self.backbone.encode_until(
+            img, end_layer=self.encode_layer + 1, deterministic=True, capture=capture
+        )
+        mid_feat = jax.lax.stop_gradient(mid_feat)
+        attn_raw = jax.lax.stop_gradient(captured[f"layers_{extract}.attn_raw"])
+
+        n_prefix = self.backbone.num_prefix_tokens
+        # VQ the patch tokens only; prefix (CLS/dist) tokens are never
+        # quantised (Adapter, discretization/visual_word_encoder.py:10-20)
+        patches = mid_feat[:, n_prefix:]
+        do_quantize = self.quantize if quantize is None else quantize
+        q_patches, ingredients = vq_encode(
+            patches, self.vocabulary, quantize=do_quantize, detach_input=self.detach_input_seq
+        )
+        feat = jnp.concatenate([mid_feat[:, :n_prefix], q_patches], axis=1)
+
+        # head-mean raw attention, CLS row / patch block split
+        attn_mean = jnp.mean(attn_raw.astype(jnp.float32), axis=1)  # [bs, n, n]
+        return {
+            "cls_token": feat[:, :n_prefix],
+            "feat": q_patches,
+            "feat_origin": patches,
+            "ingredients": ingredients,
+            "attn": attn_mean[:, n_prefix:, n_prefix:],
+            "attn_cls": attn_mean[:, 0, n_prefix:],
+            "mid_feat": mid_feat,
+        }
+
+    def classify_discretized(self, img: jnp.ndarray, quantize: bool = True) -> jnp.ndarray:
+        """Full-model logits with the (optionally) quantised mid feature — the
+        reference's backbone_discretization/cls_header JIT path, used by the
+        CB agreement evaluation (evaluation.py:198-216)."""
+        out = self(img, quantize=quantize)
+        seq = jnp.concatenate([out["cls_token"], out["feat"]], axis=1)
+        return self.backbone.resume_from_layer(seq, self.encode_layer + 1)["pred"]
+
+
+@dataclasses.dataclass(frozen=True)
+class SchemaNetConfig:
+    atlas: AtlasConfig
+    gnn_embed_dim: int = 256
+    gnn_num_layers: int = 2
+    gnn_identity_proj: bool = False
+    gnn_activation: str = "relu"
+    similarity: str = "inner_product"
+
+
+class SchemaNetPredictor(nn.Module):
+    """frozen ingredient backbone -> instance graphs -> atlas match -> logits.
+
+    Param tree: ``ingredient_backbone`` (frozen), ``schema_net`` (atlas),
+    ``matcher`` (GNN) — names chosen so the reference's param-group regexes
+    ('schema_net', 'matcher'; worker_schema_net.py:371-375) apply unchanged.
+    """
+
+    backbone: ViT
+    cfg: SchemaNetConfig
+    encode_layer: int
+    num_codes: int
+    code_dim: int
+    uniform_range: Tuple[float, float] = (-1.0, 1.0)
+
+    def setup(self):
+        self.ingredient_backbone = IngredientBackbone(
+            backbone=self.backbone,
+            num_codes=self.num_codes,
+            code_dim=self.code_dim,
+            encode_layer=self.encode_layer,
+            uniform_range=self.uniform_range,
+            name="ingredient_backbone",
+        )
+        self.schema_net = SchemaAtlas(self.cfg.atlas, name="schema_net")
+        self.matcher = Matcher(
+            similarity=self.cfg.similarity,
+            num_codes=self.num_codes,
+            embed_dim=self.cfg.gnn_embed_dim,
+            num_layers=self.cfg.gnn_num_layers,
+            identity_proj=self.cfg.gnn_identity_proj,
+            activation=self.cfg.gnn_activation,
+            name="matcher",
+        )
+
+    def __call__(self, img: jnp.ndarray, requires_graph: bool = False) -> Dict[str, Any]:
+        output = self.ingredient_backbone(img)
+        output = jax.tree_util.tree_map(jax.lax.stop_gradient, output)
+        instance = self.schema_net(
+            ingredients=output["ingredients"],
+            attn=output["attn"],
+            attn_cls=output["attn_cls"],
+        )
+        atlas = self.schema_net.get_atlas()
+        pred = self.matcher(instance, atlas)
+        ret: Dict[str, Any] = {"pred": pred}
+        ret.update(atlas)
+        if requires_graph:
+            ret.update(instance)
+            ret["ingredients"] = output["ingredients"]
+            ret["attn_cls"] = output["attn_cls"]
+        return ret
+
+    def init_full(self, img: jnp.ndarray) -> Dict[str, Any]:
+        """Initialisation entry point touching every parameter: the predictor
+        path only traces backbone layers [0, encode_layer], so ``init`` through
+        ``__call__`` would leave the tail layers (needed by the CB-agreement /
+        resume path) without params. Use ``predictor.init(key, x,
+        method='init_full')``."""
+        ret = self(img)
+        _ = self.ingredient_backbone.classify_discretized(img)
+        return ret
+
+    def build_instance_graphs(self, img: jnp.ndarray) -> Dict[str, Any]:
+        """Ingredients + instance graphs without matching (init/analysis)."""
+        output = self.ingredient_backbone(img)
+        instance = self.schema_net(
+            ingredients=output["ingredients"],
+            attn=output["attn"],
+            attn_cls=output["attn_cls"],
+        )
+        return {"output": output, "instance": instance}
+
+    def full_vertices(self, img: jnp.ndarray) -> jnp.ndarray:
+        """feat_to_full_vertices over the backbone output (init pass 1)."""
+        output = self.ingredient_backbone(img)
+        return self.schema_net.feat_to_full_vertices(
+            output["ingredients"], output["attn_cls"]
+        )
+
+    def limited_edges(self, img: jnp.ndarray, labels: jnp.ndarray) -> jnp.ndarray:
+        """feat_to_limited_edges over the backbone output (init pass 2)."""
+        output = self.ingredient_backbone(img)
+        return self.schema_net.feat_to_limited_edges(
+            output["ingredients"], output["attn"], labels
+        )
+
+
+def build_predictor(
+    model_cfg: Dict[str, Any],
+    schema_cfg: Dict[str, Any],
+    num_classes: int,
+    num_codes: int,
+    code_dim: int,
+    encode_layer: int,
+    uniform_range: Tuple[float, float] = (-1.0, 1.0),
+) -> SchemaNetPredictor:
+    """Assemble from reference-style YAML blocks (worker_schema_net.py:337-364)."""
+    backbone = get_model(model_cfg, num_classes)
+    atlas_cfg = AtlasConfig.from_cfg(
+        num_vertices=num_codes,
+        num_classes=num_classes,
+        ir_atlas_cfg=schema_cfg.get("ir_atlas", {}),
+    )
+    gnn_cfg = schema_cfg.get("gnn", {})
+    cfg = SchemaNetConfig(
+        atlas=atlas_cfg,
+        gnn_embed_dim=gnn_cfg.get("embed_dim", 256),
+        gnn_num_layers=gnn_cfg.get("num_layers", 2),
+        gnn_identity_proj=gnn_cfg.get("identity_proj", False),
+        gnn_activation=gnn_cfg.get("activation", "relu"),
+        similarity=schema_cfg.get("matcher", {}).get("similarity", "inner_product"),
+    )
+    return SchemaNetPredictor(
+        backbone=backbone,
+        cfg=cfg,
+        encode_layer=encode_layer,
+        num_codes=num_codes,
+        code_dim=code_dim,
+        uniform_range=uniform_range,
+    )
