@@ -1,0 +1,276 @@
+"""Dataset registry (replaces the cv_lib classification dataset zoo used at
+reference ``schema_inference/data/__init__.py:7-10``).
+
+A dataset yields ``(uint8 HWC image, int label)`` pairs and exposes
+``num_classes``/``classes``. Targets become ``{"label": ...}`` dicts at the
+loader level, matching the reference's target contract (worker.py:123).
+
+Registered names mirror the reference configs: cifar_10, cifar_100, imagenet
+(+ ``imagenet=N`` subset variants), caltech_101, mini_imagenet, cub_200,
+stanford_cars — plus ``synthetic`` for hardware-only benchmarking and tests
+(no dataset downloads are possible in a zero-egress environment).
+"""
+
+from __future__ import annotations
+
+import os
+import pickle
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from ..utils.registry import Registry
+
+DATASET_REGISTRY: Registry = Registry("datasets")
+
+IMG_EXTS = (".jpg", ".jpeg", ".png", ".bmp", ".webp")
+
+
+class ArrayDataset:
+    """In-memory uint8 dataset."""
+
+    def __init__(self, images: np.ndarray, labels: np.ndarray, classes: List[str], name: str):
+        self.images = images
+        self.labels = labels.astype(np.int64)
+        self.classes = classes
+        self.name = name
+
+    @property
+    def num_classes(self) -> int:
+        return len(self.classes)
+
+    def __len__(self) -> int:
+        return len(self.labels)
+
+    def __getitem__(self, idx: int) -> Tuple[np.ndarray, int]:
+        return self.images[idx], int(self.labels[idx])
+
+
+class ImageFolderDataset:
+    """ImageNet-style <root>/<class>/<image> tree, decoded lazily with PIL."""
+
+    def __init__(
+        self,
+        root: str,
+        classes: Optional[Sequence[str]] = None,
+        name: str = "image_folder",
+        class_offset: int = 0,
+    ):
+        self.root = os.path.expanduser(root)
+        found = sorted(
+            d for d in os.listdir(self.root) if os.path.isdir(os.path.join(self.root, d))
+        )
+        self.classes = list(classes) if classes is not None else found
+        self.name = name
+        self.samples: List[Tuple[str, int]] = []
+        for label, cls in enumerate(self.classes):
+            cls_dir = os.path.join(self.root, cls)
+            if not os.path.isdir(cls_dir):
+                continue
+            for fn in sorted(os.listdir(cls_dir)):
+                if fn.lower().endswith(IMG_EXTS):
+                    self.samples.append((os.path.join(cls_dir, fn), label + class_offset))
+
+    @property
+    def num_classes(self) -> int:
+        return len(self.classes)
+
+    def __len__(self) -> int:
+        return len(self.samples)
+
+    def __getitem__(self, idx: int) -> Tuple[np.ndarray, int]:
+        from PIL import Image
+
+        path, label = self.samples[idx]
+        with Image.open(path) as im:
+            return np.asarray(im.convert("RGB")), label
+
+
+class SubsetDataset:
+    def __init__(self, base, indices: Sequence[int]):
+        self.base = base
+        self.indices = list(indices)
+        self.classes = base.classes
+        self.name = base.name
+
+    @property
+    def num_classes(self) -> int:
+        return self.base.num_classes
+
+    def __len__(self) -> int:
+        return len(self.indices)
+
+    def __getitem__(self, idx: int):
+        return self.base[self.indices[idx]]
+
+
+def make_partial(dataset, fraction: Optional[float], seed: int = 0):
+    """Random fraction subsample (init_schema_net.py --make_partial)."""
+    if not fraction or fraction >= 1.0:
+        return dataset
+    rng = np.random.default_rng(seed)
+    n = max(1, int(len(dataset) * fraction))
+    idx = rng.permutation(len(dataset))[:n]
+    return SubsetDataset(dataset, idx)
+
+
+# ---------------------------------------------------------------------------
+# CIFAR (python pickle batch format)
+# ---------------------------------------------------------------------------
+
+
+def _load_cifar_file(path: str) -> Tuple[np.ndarray, np.ndarray]:
+    with open(path, "rb") as f:
+        d = pickle.load(f, encoding="bytes")
+    data = d[b"data"].reshape(-1, 3, 32, 32).transpose(0, 2, 3, 1)
+    labels = d.get(b"labels", d.get(b"fine_labels"))
+    return np.ascontiguousarray(data), np.asarray(labels)
+
+
+@DATASET_REGISTRY.register("cifar_10")
+def build_cifar10(root: str, split: str = "train", **kwargs) -> ArrayDataset:
+    base = os.path.join(os.path.expanduser(root), "cifar-10-batches-py")
+    if split == "train":
+        parts = [_load_cifar_file(os.path.join(base, f"data_batch_{i}")) for i in range(1, 6)]
+        images = np.concatenate([p[0] for p in parts])
+        labels = np.concatenate([p[1] for p in parts])
+    else:
+        images, labels = _load_cifar_file(os.path.join(base, "test_batch"))
+    classes = [str(i) for i in range(10)]
+    return ArrayDataset(images, labels, classes, "cifar_10")
+
+
+@DATASET_REGISTRY.register("cifar_100")
+def build_cifar100(root: str, split: str = "train", **kwargs) -> ArrayDataset:
+    base = os.path.join(os.path.expanduser(root), "cifar-100-python")
+    fn = "train" if split == "train" else "test"
+    images, labels = _load_cifar_file(os.path.join(base, fn))
+    classes = [str(i) for i in range(100)]
+    return ArrayDataset(images, labels, classes, "cifar_100")
+
+
+# ---------------------------------------------------------------------------
+# ImageNet-style folders
+# ---------------------------------------------------------------------------
+
+
+@DATASET_REGISTRY.register("imagenet")
+def build_imagenet(
+    root: str, split: str = "train", classes: Optional[Sequence[str]] = None, **kwargs
+) -> ImageFolderDataset:
+    sub = "train" if split == "train" else "val"
+    return ImageFolderDataset(os.path.join(root, sub), classes=classes, name="imagenet")
+
+
+def _imagenet_subset(n: int):
+    def build(root: str, split: str = "train", classes=None, **kwargs):
+        ds = build_imagenet(root, split, classes=classes, **kwargs)
+        keep = ds.classes[:n]
+        ds2 = ImageFolderDataset(
+            os.path.join(root, "train" if split == "train" else "val"),
+            classes=keep,
+            name=f"imagenet={n}",
+        )
+        return ds2
+
+    return build
+
+
+for _n in (10, 20, 50, 100):
+    DATASET_REGISTRY.register(f"imagenet={_n}", _imagenet_subset(_n))
+
+
+@DATASET_REGISTRY.register("caltech_101")
+def build_caltech101(
+    root: str,
+    split: str = "train",
+    train_per_class: int = 30,
+    seed: int = 0,
+    **kwargs,
+) -> SubsetDataset:
+    """Deterministic per-class manual split (the reference uses cv_lib's manual
+    Caltech split; we split `train_per_class` images per class, seeded)."""
+    base = ImageFolderDataset(root, name="caltech_101")
+    rng = np.random.default_rng(seed)
+    by_class: Dict[int, List[int]] = {}
+    for i, (_, label) in enumerate(base.samples):
+        by_class.setdefault(label, []).append(i)
+    indices: List[int] = []
+    for label, idxs in sorted(by_class.items()):
+        idxs = list(rng.permutation(idxs))
+        take = idxs[:train_per_class] if split == "train" else idxs[train_per_class:]
+        indices.extend(take)
+    return SubsetDataset(base, indices)
+
+
+@DATASET_REGISTRY.register("mini_imagenet")
+def build_mini_imagenet(
+    root: str, split: str = "train", classes: Optional[Sequence[str]] = None, **kwargs
+):
+    sub = "train" if split == "train" else "val"
+    path = os.path.join(root, sub)
+    if not os.path.isdir(path):
+        path = root  # single-folder layout with per-class split files
+    return ImageFolderDataset(path, classes=classes, name="mini_imagenet")
+
+
+@DATASET_REGISTRY.register("cub_200")
+def build_cub200(root: str, split: str = "train", **kwargs):
+    return ImageFolderDataset(
+        os.path.join(root, "train" if split == "train" else "val"), name="cub_200"
+    )
+
+
+@DATASET_REGISTRY.register("stanford_cars")
+def build_stanford_cars(root: str, split: str = "train", **kwargs):
+    return ImageFolderDataset(
+        os.path.join(root, "train" if split == "train" else "val"), name="stanford_cars"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Synthetic (tests + zero-egress benchmarking)
+# ---------------------------------------------------------------------------
+
+
+@DATASET_REGISTRY.register("synthetic")
+def build_synthetic(
+    root: str = "",
+    split: str = "train",
+    num_classes: int = 10,
+    num_samples: int = 512,
+    image_size: int = 32,
+    seed: int = 0,
+    **kwargs,
+) -> ArrayDataset:
+    """Deterministic class-separable images: class-seeded low-frequency pattern
+    + noise. Good enough for the loss to move and for throughput benchmarks."""
+    rng = np.random.default_rng(seed + (1 if split != "train" else 0))
+    labels = rng.integers(0, num_classes, size=(num_samples,))
+    yy, xx = np.mgrid[0:image_size, 0:image_size].astype(np.float32) / image_size
+    images = np.empty((num_samples, image_size, image_size, 3), np.uint8)
+    for i, lab in enumerate(labels):
+        phase = 2 * np.pi * (lab + 1) / num_classes
+        base = 0.5 + 0.4 * np.sin(2 * np.pi * (lab + 2) * xx + phase) * np.cos(
+            2 * np.pi * (lab + 1) * yy
+        )
+        noise = rng.normal(scale=0.1, size=(image_size, image_size, 3))
+        img = np.clip(base[..., None] + noise, 0, 1)
+        images[i] = (img * 255).astype(np.uint8)
+    classes = [str(i) for i in range(num_classes)]
+    return ArrayDataset(images, labels, classes, "synthetic")
+
+
+def get_dataset(data_cfg: Dict[str, Any], split: str):
+    """Build from a dataset yaml block (name/root/train/val/resize...)."""
+    name = data_cfg["name"]
+    split_cfg = data_cfg.get(split, {}) or {}
+    kwargs = {
+        k: v
+        for k, v in data_cfg.items()
+        if k not in ("name", "root", "train", "val", "resize", "make_partial", "mean", "std")
+    }
+    kwargs.update(split_cfg)
+    kwargs.pop("split", None)
+    ds = DATASET_REGISTRY.get(name)(root=data_cfg.get("root", ""), split=split, **kwargs)
+    return make_partial(ds, data_cfg.get("make_partial"))

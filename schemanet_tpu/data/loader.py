@@ -1,0 +1,192 @@
+"""Host-side data loader: shuffle, shard per process, augment in a thread pool,
+prefetch to device.
+
+Replaces the reference's DataLoader + DistributedSampler + cal_split_args
+stack (``schema_inference/data/__init__.py:79-147``): under single-controller
+JAX each host takes a contiguous shard of the globally shuffled index stream
+(per-epoch reshuffle via seed+epoch, the ``set_epoch`` equivalent), and
+batches are ``jax.device_put`` with the data-parallel sharding so XLA sees the
+global batch.
+"""
+
+from __future__ import annotations
+
+import concurrent.futures as futures
+import threading
+from typing import Any, Callable, Dict, Iterator, Optional, Sequence
+
+import jax
+import numpy as np
+
+from .augment import (
+    DEFAULT_MEAN,
+    DEFAULT_STD,
+    compose,
+    final_resize,
+    get_augmentation,
+    normalize_batch,
+)
+
+
+class DataLoader:
+    def __init__(
+        self,
+        dataset,
+        batch_size: int,
+        split: str = "train",
+        shuffle: bool = True,
+        drop_last: bool = True,
+        seed: int = 0,
+        resize: Optional[int] = None,
+        mean: Sequence[float] = DEFAULT_MEAN,
+        std: Sequence[float] = DEFAULT_STD,
+        num_workers: int = 8,
+        transform: Optional[Callable] = None,
+        process_index: Optional[int] = None,
+        process_count: Optional[int] = None,
+    ):
+        self.dataset = dataset
+        self.global_batch_size = batch_size
+        self.split = split
+        self.shuffle = shuffle
+        self.drop_last = drop_last
+        self.seed = seed
+        self.mean = tuple(mean)
+        self.std = tuple(std)
+        self.num_workers = max(1, num_workers)
+        self.epoch = 0
+        aug = transform
+        if aug is None:
+            aug = get_augmentation(getattr(dataset, "name", ""), split)
+        self.transform = compose(aug, final_resize(resize))
+        self._pcount = process_count if process_count is not None else jax.process_count()
+        self._pindex = process_index if process_index is not None else jax.process_index()
+        assert batch_size % self._pcount == 0, "global batch must divide process count"
+        self.local_batch_size = batch_size // self._pcount
+        self._pool = futures.ThreadPoolExecutor(max_workers=self.num_workers)
+
+    def set_epoch(self, epoch: int):
+        self.epoch = epoch
+
+    def __len__(self) -> int:
+        n = len(self.dataset) // self.global_batch_size
+        if not self.drop_last and len(self.dataset) % self.global_batch_size:
+            n += 1
+        return n
+
+    def _indices(self) -> np.ndarray:
+        n = len(self.dataset)
+        if self.shuffle:
+            rng = np.random.default_rng((self.seed, self.epoch))
+            return rng.permutation(n)
+        return np.arange(n)
+
+    def _load_one(self, idx: int, rng_seed: int):
+        img, label = self.dataset[int(idx)]
+        rng = np.random.default_rng(rng_seed)
+        img = self.transform(np.asarray(img), rng)
+        return img, label
+
+    def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
+        order = self._indices()
+        n_batches = len(self)
+        base_seed = (self.seed * 1_000_003 + self.epoch) & 0x7FFFFFFF
+        for b in range(n_batches):
+            start = b * self.global_batch_size
+            global_idx = order[start : start + self.global_batch_size]
+            # per-process contiguous shard of the global batch
+            lo = self._pindex * self.local_batch_size
+            local_idx = global_idx[lo : lo + self.local_batch_size]
+            n_valid = len(local_idx)
+            if n_valid < self.local_batch_size:
+                # pad the final partial batch to a static shape; 'valid' masks
+                # the padding out of the metrics (jit-friendly ragged tail)
+                pad = np.resize(local_idx if n_valid else order[:1], self.local_batch_size - n_valid)
+                local_idx = np.concatenate([local_idx, pad])
+            jobs = [
+                self._pool.submit(self._load_one, idx, base_seed + start + lo + j)
+                for j, idx in enumerate(local_idx)
+            ]
+            out = [j.result() for j in jobs]
+            images = np.stack([o[0] for o in out])
+            labels = np.asarray([o[1] for o in out], np.int32)
+            valid = (np.arange(self.local_batch_size) < n_valid).astype(np.float32)
+            yield {
+                "image": normalize_batch(images, self.mean, self.std),
+                "label": labels,
+                "valid": valid,
+            }
+
+
+def device_prefetch(
+    iterator: Iterator[Dict[str, np.ndarray]],
+    sharding=None,
+    buffer_size: int = 2,
+) -> Iterator[Dict[str, Any]]:
+    """Move batches to device (with the given sharding) ahead of compute."""
+    import queue as queue_mod
+
+    q: "queue_mod.Queue" = queue_mod.Queue(maxsize=buffer_size)
+    sentinel = object()
+
+    def put(batch):
+        if sharding is not None:
+            return {k: jax.device_put(v, sharding) for k, v in batch.items()}
+        return {k: jax.device_put(v) for k, v in batch.items()}
+
+    def producer():
+        try:
+            for batch in iterator:
+                q.put(put(batch))
+        finally:
+            q.put(sentinel)
+
+    thread = threading.Thread(target=producer, daemon=True)
+    thread.start()
+    while True:
+        item = q.get()
+        if item is sentinel:
+            break
+        yield item
+
+
+def build_loaders(
+    data_cfg: Dict[str, Any],
+    train_cfg: Dict[str, Any],
+    val_cfg: Dict[str, Any],
+    seed: int = 0,
+):
+    """(train_loader, val_loader, num_classes) from reference-style cfg blocks
+    (data/__init__.py:79-147)."""
+    from .datasets import get_dataset
+
+    train_set = get_dataset(data_cfg, "train")
+    val_set = get_dataset(data_cfg, "val")
+    mean = data_cfg.get("mean", DEFAULT_MEAN)
+    std = data_cfg.get("std", DEFAULT_STD)
+    resize = data_cfg.get("resize")
+    train_loader = DataLoader(
+        train_set,
+        batch_size=train_cfg["batch_size"],
+        split="train",
+        shuffle=True,
+        drop_last=True,
+        seed=seed,
+        resize=resize,
+        mean=mean,
+        std=std,
+        num_workers=train_cfg.get("num_workers", 8),
+    )
+    val_loader = DataLoader(
+        val_set,
+        batch_size=val_cfg["batch_size"],
+        split="val",
+        shuffle=False,
+        drop_last=False,
+        seed=seed,
+        resize=resize,
+        mean=mean,
+        std=std,
+        num_workers=val_cfg.get("num_workers", 8),
+    )
+    return train_loader, val_loader, train_set.num_classes

@@ -1,0 +1,104 @@
+"""Stage 3: IR-Atlas initialisation — two jitted dataset passes (reference
+``scripts/init_schema_net.py``).
+
+Pass 1 averages full-vocabulary vertex weights per class and topk-selects each
+class's vertex set; pass 2 averages class-limited edges. Both are scatter-adds
+by label on device; the reference's per-sample python loop over the batch
+(init_schema_net.py:31-35,60-62) becomes one segment-sum.
+"""
+
+from __future__ import annotations
+
+import logging
+from typing import Any, Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops import geometry, graph as graph_ops
+from ..schema.atlas import AtlasConfig, project_atlas_params
+
+logger = logging.getLogger(__name__)
+
+
+def init_atlas(
+    predictor_apply,  # (image) -> ingredient dict (ingredients, attn, attn_cls)
+    loader,
+    atlas_cfg: AtlasConfig,
+    attr_init: Tuple[jnp.ndarray, jnp.ndarray] = None,
+) -> Dict[str, Any]:
+    """Returns {'params': atlas params, 'class_ingredients': [K, V_max]}."""
+    c = atlas_cfg
+    k, v_max, m = c.num_classes, c.v_max, c.num_vertices
+    if attr_init is None:
+        w_v = jnp.full((2, 1), 0.5)
+        w_e = jnp.full((2, 1), 0.5)
+        if c.constant_vertex_attr is not None:
+            w_v = jnp.asarray(c.constant_vertex_attr, jnp.float32).reshape(2, 1)
+        if c.constant_edge_attr is not None:
+            w_e = jnp.asarray(c.constant_edge_attr, jnp.float32).reshape(2, 1)
+    else:
+        w_v, w_e = attr_init
+
+    geo = geometry.pairwise_point_sim(c.feat_h, c.feat_w, c.dist_alpha, c.dist_pow)
+
+    # ---- pass 1: class vertex averages (init_schema_net.py:43-65) ----------
+    @jax.jit
+    def vertex_step(acc, counts, image, labels, valid):
+        out = predictor_apply(image)
+        vertices = graph_ops.feat_to_full_vertices(
+            out["ingredients"], out["attn_cls"], m, w_v, c.clamp_vertex_attn
+        )  # [bs, M]
+        vertices = vertices * valid[:, None]
+        acc = acc.at[labels].add(vertices)
+        counts = counts.at[labels].add(valid)
+        return acc, counts
+
+    acc = jnp.zeros((k, m), jnp.float32)
+    counts = jnp.zeros((k,), jnp.float32)
+    for batch in loader:
+        valid = jnp.asarray(batch.get("valid", np.ones(len(batch["label"]), np.float32)))
+        acc, counts = vertex_step(
+            acc, counts, jnp.asarray(batch["image"]), jnp.asarray(batch["label"]), valid
+        )
+    class_vertices = acc / jnp.maximum(counts, 1.0)[:, None]
+    class_vertices = class_vertices / jnp.maximum(
+        class_vertices.sum(axis=-1, keepdims=True), 1e-12
+    )
+    init_weights, valid_vertices = jax.lax.top_k(class_vertices, v_max)  # [K, V_max]
+    class_ingredients = valid_vertices.astype(jnp.int32)
+    logger.info("pass 1 done: %d classes, %s tracked samples", k, np.asarray(counts).sum())
+
+    # ---- pass 2: class-limited edge averages (init_schema_net.py:19-40) ----
+    @jax.jit
+    def edge_step(acc_e, image, labels, valid):
+        out = predictor_apply(image)
+        edges = graph_ops.class_limited_edges(
+            out["ingredients"], out["attn"], geo, labels, class_ingredients, w_e,
+            clamp_edge_attn=c.clamp_edge_attn, remove_self_loop=c.remove_self_loop,
+        )  # [bs, V_max, V_max]
+        edges = edges * valid[:, None, None]
+        return acc_e.at[labels].add(edges)
+
+    acc_e = jnp.zeros((k, v_max, v_max), jnp.float32)
+    loader.set_epoch(1)
+    for batch in loader:
+        valid = jnp.asarray(batch.get("valid", np.ones(len(batch["label"]), np.float32)))
+        acc_e = edge_step(
+            acc_e, jnp.asarray(batch["image"]), jnp.asarray(batch["label"]), valid
+        )
+    edge_weights = acc_e / jnp.maximum(counts, 1.0)[:, None, None]
+    logger.info("pass 2 done")
+
+    params = {
+        "vertex_weights": init_weights,
+        "edge_weights": edge_weights,
+        "vertex_attribute_weights": w_v,
+        "edge_attribute_weights": w_e,
+    }
+    params = project_atlas_params(params, c)  # final normalize() (init:40)
+    return {
+        "params": jax.device_get(params),
+        "class_ingredients": np.asarray(class_ingredients),
+    }

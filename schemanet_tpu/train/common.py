@@ -1,0 +1,209 @@
+"""Training substrate: train state, optimizer factory, LR schedules, ckpts.
+
+Re-creates the cv_lib surface the reference trainers consume:
+* ``get_optimizer`` (AdamW) + regex param groups with per-group hyperparams and
+  ``drop_remain`` freezing (reference ``utils/customs_param_group.py:11-63``)
+  via ``optax.multi_transform``;
+* ``cosine_annealing`` scheduler with ``T_max``/``warmup_iters``/``eta_min``
+  stepped once per *epoch* (reference ``worker.py:256`` steps per epoch);
+* checkpoint save/resume with best-tracking (reference ``worker.py:92-117,
+  221-242``) through Orbax.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import shutil
+from typing import Any, Callable, Dict, List, Optional, Sequence, Tuple
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+
+class TrainState(flax.struct.PyTreeNode):
+    step: jnp.ndarray
+    params: Any
+    buffers: Any
+    opt_state: Any
+    rng: jax.Array
+
+
+# ---------------------------------------------------------------------------
+# LR schedules
+# ---------------------------------------------------------------------------
+
+
+def epoch_schedule(
+    name: str,
+    base_lr: float,
+    steps_per_epoch: int,
+    total_epochs: int,
+    warmup_iters: int = 0,
+    eta_min: float = 0.0,
+    T_max: Optional[int] = None,
+) -> Callable[[jnp.ndarray], jnp.ndarray]:
+    """LR as a function of global step, constant within each epoch.
+
+    Matches the reference semantics: cv_lib's cosine_annealing is stepped once
+    per epoch (worker.py:256) with warmup_iters counted in epochs.
+    """
+    t_max = T_max if T_max is not None else total_epochs
+
+    def lr_at_epoch(e):
+        if name in ("cosine_annealing", "cosine"):
+            if warmup_iters and e < warmup_iters:
+                return base_lr * (e + 1) / warmup_iters
+            progress = min(max(e - warmup_iters, 0) / max(t_max - warmup_iters, 1), 1.0)
+            return eta_min + (base_lr - eta_min) * 0.5 * (1 + np.cos(np.pi * progress))
+        if name == "constant":
+            return base_lr
+        raise KeyError(f"unknown schedule {name!r}")
+
+    table = jnp.asarray(
+        [lr_at_epoch(e) for e in range(total_epochs + 1)], dtype=jnp.float32
+    )
+
+    def schedule(step):
+        epoch = jnp.minimum(step // max(steps_per_epoch, 1), total_epochs)
+        return table[epoch]
+
+    return schedule
+
+
+# ---------------------------------------------------------------------------
+# Optimizer with regex param groups
+# ---------------------------------------------------------------------------
+
+
+def _param_labels(params: Any, groups: Sequence[Dict[str, Any]], drop_remain: bool):
+    """Assign each param path to the first matching regex group (by torch-style
+    dotted name), 'default' if none, 'frozen' when drop_remain."""
+
+    def label_for(path, _):
+        name = ".".join(str(getattr(k, "key", k)) for k in path)
+        for gi, group in enumerate(groups):
+            if re.match(group["pattern"], name):
+                return f"group_{gi}"
+        return "frozen" if drop_remain else "default"
+
+    return jax.tree_util.tree_map_with_path(label_for, params)
+
+
+def make_optimizer(
+    params: Any,
+    optimizer_cfg: Dict[str, Any],
+    schedule: Callable,
+    param_groups: Optional[Sequence[Dict[str, Any]]] = None,
+    drop_remain: bool = False,
+    clip_max_norm: Optional[float] = None,
+    frozen_patterns: Sequence[str] = (),
+) -> Tuple[optax.GradientTransformation, Any]:
+    """AdamW with optional per-group overrides, global-norm clipping and frozen
+    subtrees (returns (tx, labels) — labels exposed for tests/inspection)."""
+    name = optimizer_cfg.get("name", "AdamW").lower()
+    base_lr = float(optimizer_cfg.get("lr", 1e-3))
+    weight_decay = float(optimizer_cfg.get("weight_decay", 0.0))
+
+    def make_one(lr_scale: float, wd: float) -> optax.GradientTransformation:
+        def scaled(step):
+            return schedule(step) * lr_scale
+
+        if name == "adamw":
+            return optax.adamw(scaled, weight_decay=wd)
+        if name == "adam":
+            return optax.adam(scaled)
+        if name == "sgd":
+            return optax.sgd(
+                scaled, momentum=optimizer_cfg.get("momentum", 0.9), nesterov=False
+            )
+        raise KeyError(f"unknown optimizer {name!r}")
+
+    groups = list(param_groups or [])
+    transforms: Dict[str, optax.GradientTransformation] = {
+        "default": make_one(1.0, weight_decay),
+        "frozen": optax.set_to_zero(),
+    }
+    for gi, group in enumerate(groups):
+        cfg = group.get("cfg", {}) or {}
+        lr_scale = float(cfg.get("lr", base_lr)) / base_lr
+        transforms[f"group_{gi}"] = make_one(lr_scale, float(cfg.get("weight_decay", weight_decay)))
+
+    labels = _param_labels(params, groups, drop_remain)
+    if frozen_patterns:
+        def freeze(path, label):
+            name_ = ".".join(str(getattr(k, "key", k)) for k in path)
+            if any(re.match(p, name_) for p in frozen_patterns):
+                return "frozen"
+            return label
+
+        labels = jax.tree_util.tree_map_with_path(
+            lambda p, lab, _: freeze(p, lab), labels, params
+        )
+
+    tx = optax.multi_transform(transforms, labels)
+    if clip_max_norm:
+        tx = optax.chain(optax.clip_by_global_norm(clip_max_norm), tx)
+    return tx, labels
+
+
+# ---------------------------------------------------------------------------
+# Checkpointing (Orbax)
+# ---------------------------------------------------------------------------
+
+
+class CheckpointManager:
+    """iter-N checkpoints + best copy, like the reference's ckpt dir layout
+    (``ckpt/iter-<N>.pth`` / ``best.pth``, worker.py:235-242)."""
+
+    def __init__(self, ckpt_dir: str):
+        import orbax.checkpoint as ocp
+
+        self.ckpt_dir = os.path.abspath(ckpt_dir)
+        os.makedirs(self.ckpt_dir, exist_ok=True)
+        self._ckptr = ocp.StandardCheckpointer()
+
+    def _path(self, tag: str) -> str:
+        return os.path.join(self.ckpt_dir, tag)
+
+    def save(self, tag: str, tree: Any, is_best: bool = False):
+        if jax.process_index() != 0:
+            return
+        path = self._path(tag)
+        if os.path.exists(path):
+            shutil.rmtree(path)
+        self._ckptr.save(path, tree)
+        self._ckptr.wait_until_finished()
+        if is_best:
+            best = self._path("best")
+            if os.path.exists(best):
+                shutil.rmtree(best)
+            shutil.copytree(path, best)
+
+    def restore(self, tag_or_path: str, template: Any) -> Any:
+        path = tag_or_path if os.path.isabs(tag_or_path) else self._path(tag_or_path)
+        return self._ckptr.restore(path, template)
+
+    def exists(self, tag: str) -> bool:
+        return os.path.isdir(self._path(tag))
+
+
+def save_metadata(ckpt_dir: str, meta: Dict[str, Any]):
+    import json
+
+    if jax.process_index() == 0:
+        with open(os.path.join(ckpt_dir, "meta.json"), "w") as f:
+            json.dump(meta, f, indent=2, default=float)
+
+
+def load_metadata(ckpt_dir: str) -> Optional[Dict[str, Any]]:
+    import json
+
+    path = os.path.join(ckpt_dir, "meta.json")
+    if not os.path.isfile(path):
+        return None
+    with open(path) as f:
+        return json.load(f)

@@ -1,0 +1,126 @@
+"""Standalone evaluation loops (reference ``schema_inference/eval/evaluation.py``).
+
+* ``Evaluation`` — loss + top-k accuracy over a loader (distributed reduction
+  handled by the jitted step's shardings + host allgather).
+* ``CBEvaluation`` — the codebook agreement metric: run the backbone twice per
+  batch with discretization deactivated/activated; report ``acc`` (quantised
+  correct), ``acc_model`` (quantised prediction == original prediction),
+  ``acc_origin`` (original correct) (evaluation.py:107-216).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Dict, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..schema.loss import weighted_total
+
+
+class Evaluation:
+    def __init__(
+        self,
+        apply_fn: Callable,  # (params, buffers, image, train=False) -> output
+        loss_fn: Callable,
+        loss_weights: Dict[str, float],
+        val_loader,
+        batch_sharding=None,
+        top_k: Sequence[int] = (1,),
+    ):
+        self.loss_fn = loss_fn
+        self.loss_weights = dict(loss_weights)
+        self.val_loader = val_loader
+        self.top_k = tuple(top_k)
+        self.batch_sharding = batch_sharding
+
+        def step(params, buffers, batch):
+            out = apply_fn(params, buffers, batch["image"], False)
+            loss_dict = self.loss_fn(out, {"label": batch["label"]})
+            total = weighted_total(loss_dict, self.loss_weights)
+            pred = out["pred"]["pred"] if isinstance(out["pred"], dict) else out["pred"]
+            valid = batch.get("valid", jnp.ones(pred.shape[0], jnp.float32))
+            max_k = min(max(self.top_k), pred.shape[-1])
+            _, top_pred = jax.lax.top_k(pred, max_k)
+            correct = (top_pred == batch["label"][:, None]).astype(jnp.float32)
+            accs = {
+                k: jnp.sum(jnp.max(correct[:, : min(k, max_k)], axis=1) * valid)
+                for k in self.top_k
+            }
+            return {"loss": total, "loss_dict": loss_dict, "acc_counts": accs,
+                    "n": jnp.sum(valid)}
+
+        self._step = jax.jit(step)
+
+    def __call__(self, params, buffers=None) -> Dict[str, Any]:
+        buffers = buffers if buffers is not None else {}
+        counts = {k: 0.0 for k in self.top_k}
+        loss_total, n_total = 0.0, 0.0
+        loss_dict_tot: Dict[str, float] = {}
+        for batch in self.val_loader:
+            if self.batch_sharding is not None:
+                batch = {k: jax.device_put(v, self.batch_sharding) for k, v in batch.items()}
+            out = self._step(params, buffers, batch)
+            n = float(out["n"])
+            n_total += n
+            loss_total += float(out["loss"]) * n
+            for k in self.top_k:
+                counts[k] += float(out["acc_counts"][k])
+            for key, v in out["loss_dict"].items():
+                loss_dict_tot[key] = loss_dict_tot.get(key, 0.0) + float(v) * n
+        if jax.process_count() > 1:
+            from jax.experimental import multihost_utils
+
+            arr = np.asarray([n_total, loss_total] + [counts[k] for k in self.top_k])
+            arr = multihost_utils.process_allgather(arr).sum(axis=0)
+            n_total, loss_total = arr[0], arr[1]
+            for i, k in enumerate(self.top_k):
+                counts[k] = arr[2 + i]
+        n_total = max(n_total, 1.0)
+        return {
+            "loss": loss_total / n_total,
+            "loss_dict": {k: v / n_total for k, v in loss_dict_tot.items()},
+            "acc": {k: counts[k] / n_total for k in self.top_k},
+        }
+
+
+class CBEvaluation:
+    """Agreement between quantised and original mid-feature classification."""
+
+    def __init__(self, classify_fn: Callable, val_loader, batch_sharding=None):
+        # classify_fn(params, buffers, image, quantize) -> logits [bs, K]
+        self.val_loader = val_loader
+        self.batch_sharding = batch_sharding
+
+        def step(params, buffers, batch):
+            pred_q = jnp.argmax(classify_fn(params, buffers, batch["image"], True), axis=1)
+            pred_o = jnp.argmax(classify_fn(params, buffers, batch["image"], False), axis=1)
+            valid = batch.get("valid", jnp.ones(pred_q.shape[0], jnp.float32))
+            gt = batch["label"]
+            return {
+                "acc": jnp.sum((pred_q == gt) * valid),
+                "acc_model": jnp.sum((pred_q == pred_o) * valid),
+                "acc_origin": jnp.sum((pred_o == gt) * valid),
+                "n": jnp.sum(valid),
+            }
+
+        self._step = jax.jit(step)
+
+    def __call__(self, params, buffers=None) -> Dict[str, float]:
+        buffers = buffers if buffers is not None else {}
+        sums = {"acc": 0.0, "acc_model": 0.0, "acc_origin": 0.0, "n": 0.0}
+        for batch in self.val_loader:
+            if self.batch_sharding is not None:
+                batch = {k: jax.device_put(v, self.batch_sharding) for k, v in batch.items()}
+            out = self._step(params, buffers, batch)
+            for k in sums:
+                sums[k] += float(out[k])
+        if jax.process_count() > 1:
+            from jax.experimental import multihost_utils
+
+            arr = np.asarray([sums[k] for k in ("acc", "acc_model", "acc_origin", "n")])
+            arr = multihost_utils.process_allgather(arr).sum(axis=0)
+            sums = dict(zip(("acc", "acc_model", "acc_origin", "n"), arr))
+        n = max(sums["n"], 1.0)
+        return {k: sums[k] / n for k in ("acc", "acc_model", "acc_origin")}

@@ -1,0 +1,329 @@
+"""Generic training loop (reference ``schema_inference/tasks/worker.py`` /
+``worker_schema_net.py`` Trainer classes).
+
+One jitted ``train_step`` carries: optional pre-step parameter projection (the
+SchemaNet atlas ``normalize()``), dropout-rng threading, weighted loss dict,
+grad clip, optimizer update. The loop reproduces the reference's structure:
+initial validation, per-epoch reshuffle, ``val_interval``-gated validation +
+checkpointing with best-tracking, per-epoch LR schedule stepping.
+
+bf16 note: the reference offers fp16 AMP + GradScaler behind ``--use-amp``;
+on TPU we run bf16 compute via model dtype with fp32 params/optimizer — no
+loss scaling needed.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import logging
+import time
+from typing import Any, Callable, Dict, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..parallel.mesh import batch_sharding, make_mesh, shard_params
+from ..schema.loss import weighted_total
+from ..utils.logging_utils import TBWriter
+from ..utils.metrics import tensor_dict_items, topk_accuracy
+from .common import CheckpointManager, TrainState, epoch_schedule, load_metadata, make_optimizer, save_metadata
+
+
+@dataclasses.dataclass
+class TrainerConfig:
+    train_epochs: int
+    print_interval: int = 20
+    val_interval: int = 500
+    batch_size: int = 64
+    clip_max_norm: Optional[float] = None
+    optimizer: Dict[str, Any] = dataclasses.field(default_factory=dict)
+    lr_schedule: Dict[str, Any] = dataclasses.field(default_factory=dict)
+    param_groups: Optional[Sequence[Dict[str, Any]]] = None
+    drop_remain: bool = False
+    frozen_patterns: Sequence[str] = ()
+
+    @classmethod
+    def from_cfg(cls, train_cfg: Dict[str, Any], **over):
+        known = {f.name for f in dataclasses.fields(cls)}
+        kwargs = {k: v for k, v in train_cfg.items() if k in known}
+        kwargs.update(over)
+        return cls(**kwargs)
+
+
+class Trainer:
+    """apply_fn(params, buffers, image, rng, train) -> output dict with 'pred'
+    (plus atlas tensors for the schema loss)."""
+
+    def __init__(
+        self,
+        cfg: TrainerConfig,
+        apply_fn: Callable,
+        loss_fn: Callable,
+        loss_weights: Dict[str, float],
+        params: Any,
+        buffers: Any,
+        train_loader,
+        val_loader,
+        mesh=None,
+        project_params: Optional[Callable] = None,
+        log_dir: Optional[str] = None,
+        ckpt_dir: Optional[str] = None,
+        resume: str = "",
+        seed: int = 42,
+        top_k: Sequence[int] = (1, 5),
+        extra_scalars: Optional[Callable[[Any], Dict[str, float]]] = None,
+        name: str = "trainer",
+    ):
+        self.cfg = cfg
+        self.apply_fn = apply_fn
+        self.loss_fn = loss_fn
+        self.loss_weights = dict(loss_weights)
+        self.train_loader = train_loader
+        self.val_loader = val_loader
+        self.project_params = project_params
+        self.logger = logging.getLogger(name)
+        self.tb = TBWriter(log_dir)
+        self.top_k = tuple(top_k)
+        self.extra_scalars = extra_scalars
+
+        self.mesh = mesh if mesh is not None else make_mesh()
+        self.batch_sharding = batch_sharding(self.mesh)
+
+        steps_per_epoch = max(len(train_loader), 1)
+        self.steps_per_epoch = steps_per_epoch
+        sched_cfg = dict(cfg.lr_schedule)
+        self.schedule = epoch_schedule(
+            name=sched_cfg.pop("name", "cosine_annealing"),
+            base_lr=float(cfg.optimizer.get("lr", 1e-3)),
+            steps_per_epoch=steps_per_epoch,
+            total_epochs=cfg.train_epochs,
+            warmup_iters=int(sched_cfg.pop("warmup_iters", 0) or 0),
+            eta_min=float(sched_cfg.pop("eta_min", 0.0) or 0.0),
+            T_max=sched_cfg.pop("T_max", None),
+        )
+        self.tx, self.param_labels = make_optimizer(
+            params,
+            cfg.optimizer,
+            self.schedule,
+            param_groups=cfg.param_groups,
+            drop_remain=cfg.drop_remain,
+            clip_max_norm=cfg.clip_max_norm,
+            frozen_patterns=cfg.frozen_patterns,
+        )
+
+        params = shard_params(self.mesh, params)
+        buffers = shard_params(self.mesh, buffers)
+        opt_state = jax.jit(self.tx.init)(params)
+        self.state = TrainState(
+            step=jnp.zeros((), jnp.int32),
+            params=params,
+            buffers=buffers,
+            opt_state=opt_state,
+            rng=jax.random.PRNGKey(seed),
+        )
+
+        self.epoch = 0
+        self.start_epoch = 0
+        self.best_acc = 0.0
+        self.best_iter = 0
+        self.ckpt = CheckpointManager(ckpt_dir) if ckpt_dir else None
+        if resume:
+            self.resume(resume)
+
+        self._train_step = jax.jit(self._train_step_impl, donate_argnums=(0,))
+        self._eval_step = jax.jit(self._eval_step_impl)
+
+    # -- jitted bodies -------------------------------------------------------
+
+    def _train_step_impl(self, state: TrainState, batch):
+        params = state.params
+        if self.project_params is not None:
+            params = self.project_params(params)
+        rng, step_rng = jax.random.split(state.rng)
+
+        def compute_loss(p):
+            out = self.apply_fn(p, state.buffers, batch["image"], step_rng, True)
+            loss_dict = self.loss_fn(out, {"label": batch["label"]})
+            return weighted_total(loss_dict, self.loss_weights), loss_dict
+
+        (total, loss_dict), grads = jax.value_and_grad(compute_loss, has_aux=True)(params)
+        updates, opt_state = self.tx.update(grads, state.opt_state, params)
+        params = optax.apply_updates(params, updates)
+        new_state = state.replace(
+            step=state.step + 1, params=params, opt_state=opt_state, rng=rng
+        )
+        metrics = {"loss": total, **loss_dict}
+        return new_state, metrics
+
+    def _eval_step_impl(self, state: TrainState, batch):
+        params = state.params
+        if self.project_params is not None:
+            params = self.project_params(params)
+        out = self.apply_fn(params, state.buffers, batch["image"], state.rng, False)
+        loss_dict = self.loss_fn(out, {"label": batch["label"]})
+        total = weighted_total(loss_dict, self.loss_weights)
+        pred = out["pred"]["pred"] if isinstance(out["pred"], dict) else out["pred"]
+        valid = batch.get("valid")
+        if valid is None:
+            valid = jnp.ones(pred.shape[0], jnp.float32)
+        max_k = min(max(self.top_k), pred.shape[-1])
+        _, top_pred = jax.lax.top_k(pred, max_k)
+        correct = (top_pred == batch["label"][:, None]).astype(jnp.float32)
+        acc_counts = {
+            k: jnp.sum(jnp.max(correct[:, : min(k, max_k)], axis=1) * valid)
+            for k in self.top_k
+        }
+        return {
+            "loss": total,
+            "loss_dict": loss_dict,
+            "acc_counts": acc_counts,
+            "n": jnp.sum(valid),
+        }
+
+    # -- host loop -----------------------------------------------------------
+
+    def train_iter(self, batch) -> Dict[str, float]:
+        batch = {k: jax.device_put(v, self.batch_sharding) for k, v in batch.items()}
+        self.state, metrics = self._train_step(self.state, batch)
+        return metrics
+
+    def validate(self) -> Dict[str, Any]:
+        totals: Dict[str, float] = {}
+        counts = {k: 0.0 for k in self.top_k}
+        n_total, loss_total = 0.0, 0.0
+        self.val_loader.set_epoch(0)
+        for batch in self.val_loader:
+            batch = {k: jax.device_put(v, self.batch_sharding) for k, v in batch.items()}
+            out = self._eval_step(self.state, batch)
+            n = float(out["n"])
+            n_total += n
+            loss_total += float(out["loss"]) * n
+            for k in self.top_k:
+                counts[k] += float(out["acc_counts"][k])
+            for key, v in out["loss_dict"].items():
+                totals[key] = totals.get(key, 0.0) + float(v) * n
+        if jax.process_count() > 1:
+            from jax.experimental import multihost_utils
+
+            arr = np.asarray(
+                [n_total, loss_total] + [counts[k] for k in self.top_k], np.float64
+            )
+            arr = multihost_utils.process_allgather(arr).sum(axis=0)
+            n_total, loss_total = arr[0], arr[1]
+            for i, k in enumerate(self.top_k):
+                counts[k] = arr[2 + i]
+        n_total = max(n_total, 1.0)
+        return {
+            "loss": loss_total / n_total,
+            "loss_dict": {k: v / n_total for k, v in totals.items()},
+            "acc": {k: counts[k] / n_total for k in self.top_k},
+        }
+
+    @property
+    def iter_count(self) -> int:
+        return int(self.state.step)
+
+    def validate_and_save(self, show_tb: bool = True):
+        eval_dict = self.validate()
+        acc = eval_dict["acc"][1]
+        if jax.process_index() == 0:
+            self.logger.info(
+                "Validation loss: %.5f, acc: %.4f, loss dict: %s",
+                eval_dict["loss"], acc, tensor_dict_items(eval_dict["loss_dict"]),
+            )
+            if show_tb:
+                self.tb.add_scalar("Val/Loss", eval_dict["loss"], self.iter_count)
+                self.tb.add_scalar("Val/Acc", acc, self.iter_count)
+                self.tb.add_scalar("Val/Acc@1", acc, self.iter_count)
+                if 5 in eval_dict["acc"]:
+                    self.tb.add_scalar("Val/Acc@5", eval_dict["acc"][5], self.iter_count)
+                self.tb.add_scalars("Val/Loss_dict", eval_dict["loss_dict"], self.iter_count)
+        is_best = acc > self.best_acc
+        if is_best:
+            self.best_acc = float(acc)
+            self.best_iter = self.iter_count
+        if self.ckpt is not None:
+            tag = f"iter-{self.iter_count}"
+            self.ckpt.save(
+                tag,
+                {
+                    "params": self.state.params,
+                    "buffers": self.state.buffers,
+                    "opt_state": self.state.opt_state,
+                    "step": self.state.step,
+                },
+                is_best=is_best,
+            )
+            save_metadata(
+                self.ckpt.ckpt_dir,
+                {
+                    "epoch": self.epoch,
+                    "iter": self.iter_count,
+                    "best_acc": self.best_acc,
+                    "best_iter": self.best_iter,
+                    "eval": {str(k): v for k, v in eval_dict["acc"].items()},
+                    "last_tag": tag,
+                },
+            )
+        return eval_dict
+
+    def resume(self, tag_or_path: str):
+        assert self.ckpt is not None, "resume requires a ckpt_dir"
+        template = {
+            "params": self.state.params,
+            "buffers": self.state.buffers,
+            "opt_state": self.state.opt_state,
+            "step": self.state.step,
+        }
+        restored = self.ckpt.restore(tag_or_path, template)
+        self.state = self.state.replace(
+            params=restored["params"],
+            buffers=restored["buffers"],
+            opt_state=restored["opt_state"],
+            step=jnp.asarray(restored["step"], jnp.int32),
+        )
+        meta = load_metadata(self.ckpt.ckpt_dir) or {}
+        self.start_epoch = int(meta.get("epoch", 0)) + 1
+        self.best_acc = float(meta.get("best_acc", 0.0))
+        self.best_iter = int(meta.get("best_iter", 0))
+        self.logger.info(
+            "Resumed from %s at epoch %d, iter %d", tag_or_path, self.start_epoch, self.iter_count
+        )
+
+    def __call__(self, initial_validation: bool = True):
+        start = time.time()
+        if initial_validation:
+            self.logger.info("Initial testing")
+            self.validate_and_save(show_tb=False)
+        for self.epoch in range(self.start_epoch, self.cfg.train_epochs):
+            self.train_loader.set_epoch(self.epoch)
+            for step, batch in enumerate(self.train_loader):
+                metrics = self.train_iter(batch)
+                it = self.iter_count
+                if it % self.cfg.print_interval == 0 and jax.process_index() == 0:
+                    loss_items = tensor_dict_items(
+                        {k: v for k, v in metrics.items() if k != "loss"}
+                    )
+                    lr = float(self.schedule(self.state.step))
+                    self.logger.info(
+                        "Epoch %3d|%3d, step %4d|%4d, iter %6d, lr %.3e, loss %.5f, %s",
+                        self.epoch, self.cfg.train_epochs, step, self.steps_per_epoch,
+                        it, lr, float(metrics["loss"]), loss_items,
+                    )
+                    self.tb.add_scalar("Train/Loss", float(metrics["loss"]), it)
+                    self.tb.add_scalars("Train/Loss_dict", loss_items, it)
+                    self.tb.add_scalar("Train/Lr", lr, it)
+                    if self.extra_scalars is not None:
+                        self.tb.add_scalars("Weights", self.extra_scalars(self.state), it)
+                if it > 0 and it % self.cfg.val_interval == 0:
+                    self.validate_and_save()
+        self.logger.info("Final validation")
+        final = self.validate_and_save()
+        if jax.process_index() == 0:
+            self.logger.info(
+                "Training time %.1fs; best acc %.4f @ iter %d",
+                time.time() - start, self.best_acc, self.best_iter,
+            )
+        return final
