@@ -1,0 +1,132 @@
+#!/usr/bin/env python
+"""Benchmark: SchemaNet training images/sec/chip at CIFAR-100 scale.
+
+Runs the flagship config (DeiT-Tiny 224px backbone, M=1024 codebook, K=100
+classes, batch 64 — reference config/cifar_100/schema_net/deit_tiny-l9-M_1024)
+as one jitted train step on the available accelerator and reports throughput.
+
+Baseline (see bench_baseline.json): the reference's per-iteration CPU C++
+graph build measured at 56.8 img/s on this host — its structural ceiling.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from schemanet_tpu.schema import build_predictor, get_loss_fn, weighted_total
+    from schemanet_tpu.schema.atlas import project_atlas_params
+
+    batch_size = int(os.environ.get("BENCH_BATCH", 512))
+    num_classes = 100
+    num_codes = 1024
+    steps = int(os.environ.get("BENCH_STEPS", 20))
+    dtype = jnp.bfloat16 if os.environ.get("BENCH_DTYPE", "bf16") == "bf16" else jnp.float32
+
+    model_cfg = {
+        "name": "vit",
+        "transformer": dict(
+            embed_dim=192, num_encoder_layers=12, num_heads=3, dim_feedforward=768,
+            dropout=None, activation="gelu", final_norm=True, norm_eps=1e-6,
+        ),
+        "patch_embed": dict(img_size=224, patch_size=16, image_channels=3),
+        "pos_encoding": dict(name="learnable"),
+    }
+    schema_cfg = {
+        "matcher": {"similarity": "inner_product"},
+        "gnn": {"embed_dim": 256, "num_layers": 2, "activation": "relu"},
+        "ir_atlas": dict(
+            class_max_vertices=None, dist_pow=2, feat_h=14, feat_w=14,
+            clamp_vertex_attn=-1.0, clamp_edge_attn=-1.0,
+            remove_self_loop=False, prune_node_threshold=0.001,
+            graph_precision="default",
+        ),
+    }
+    predictor = build_predictor(
+        model_cfg, schema_cfg, num_classes=num_classes, num_codes=num_codes,
+        code_dim=192, encode_layer=9, dtype=dtype,
+    )
+
+    rng = jax.random.PRNGKey(0)
+    x_init = jnp.zeros((2, 224, 224, 3), jnp.float32)
+    variables = predictor.init(rng, x_init)
+    params, buffers = variables["params"], variables["buffers"]
+
+    loss_fn = get_loss_fn({"name": "schema_inference_loss"})
+    weights = {"cls": 1.0, "re_entropy_vertex": 0.5, "re_entropy_edge": 0.75}
+    atlas_cfg = predictor.cfg.atlas
+
+    import re as _re
+
+    def label(path, _):
+        name = ".".join(str(getattr(k, "key", k)) for k in path)
+        if name.startswith("backbone") or name.startswith("ingredient_backbone"):
+            return "frozen"
+        return "train"
+
+    labels = jax.tree_util.tree_map_with_path(label, params)
+    tx = optax.multi_transform(
+        {"train": optax.adamw(1e-3), "frozen": optax.set_to_zero()}, labels
+    )
+    opt_state = tx.init(params)
+
+    @jax.jit
+    def train_step(params, opt_state, image, label_):
+        params = dict(params, schema_net=project_atlas_params(params["schema_net"], atlas_cfg))
+
+        def compute(p):
+            out = predictor.apply({"params": p, "buffers": buffers}, image)
+            return weighted_total(loss_fn(out, {"label": label_}), weights)
+
+        loss, grads = jax.value_and_grad(compute)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    data_rng = np.random.default_rng(0)
+    image = jnp.asarray(data_rng.normal(size=(batch_size, 224, 224, 3)).astype(np.float32))
+    label_ = jnp.asarray(data_rng.integers(0, num_classes, size=(batch_size,)), jnp.int32)
+
+    # warmup (compile)
+    params, opt_state, loss = train_step(params, opt_state, image, label_)
+    jax.block_until_ready(loss)
+
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        params, opt_state, loss = train_step(params, opt_state, image, label_)
+    jax.block_until_ready(loss)
+    dt = time.perf_counter() - t0
+
+    n_chips = jax.device_count()
+    images_per_sec_per_chip = batch_size * steps / dt / n_chips
+
+    baseline = 56.8
+    try:
+        with open(os.path.join(os.path.dirname(__file__), "bench_baseline.json")) as f:
+            baseline = json.load(f)["schema_train_images_per_sec_per_chip"]
+    except Exception:
+        pass
+
+    print(
+        json.dumps(
+            {
+                "metric": "schema_train_images_per_sec_per_chip",
+                "value": round(images_per_sec_per_chip, 2),
+                "unit": "images/sec/chip",
+                "vs_baseline": round(images_per_sec_per_chip / baseline, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -176,19 +176,25 @@ def _pair_mean_edges(
     attn: jnp.ndarray,  # [bs, L, L] softmaxed attention
     geo_sim: jnp.ndarray,  # [L, L]
     mean: bool,
+    precision: str = "highest",
 ) -> jnp.ndarray:
     """Core all-pairs accumulation: E[b,s1,s2,:] = agg over position pairs.
 
     ``P^T A P`` on the MXU; the pair count is the outer product of slot counts.
     Returns [bs, S, S, 2] with attribute 0 = geo, 1 = attn (feat_to_e.cpp:113-114).
+
+    ``precision``: 'highest' = full fp32 passes (bit-parity with the CPU
+    reference; used by the golden tests and init passes); 'default' = single
+    bf16 MXU pass — the one-hot operand is exact in bf16 and the MXU
+    accumulates in fp32, so only attn/geo round to bf16 (~3 significant
+    digits), which is ample for training and ~4x faster.
     """
     pf = proj.astype(jnp.float32)
-    # HIGHEST precision: these contractions are tiny next to the backbone but
-    # their results feed parity-sensitive normalisations (TPU default would
-    # run them as bf16 passes).
-    hi = jax.lax.Precision.HIGHEST
-    attn_e = jnp.einsum("bls,blm,bmt->bst", pf, attn.astype(jnp.float32), pf, precision=hi)
-    geo_e = jnp.einsum("bls,lm,bmt->bst", pf, geo_sim.astype(jnp.float32), pf, precision=hi)
+    prec = (
+        jax.lax.Precision.HIGHEST if precision == "highest" else jax.lax.Precision.DEFAULT
+    )
+    attn_e = jnp.einsum("bls,blm,bmt->bst", pf, attn.astype(jnp.float32), pf, precision=prec)
+    geo_e = jnp.einsum("bls,lm,bmt->bst", pf, geo_sim.astype(jnp.float32), pf, precision=prec)
     if mean:
         counts = pf.sum(axis=1)  # [bs, S]
         pairs = counts[:, :, None] * counts[:, None, :]
@@ -207,6 +213,7 @@ def instance_edges(
     clamp_edge_attn: Optional[float] = None,
     mean: bool = True,
     remove_self_loop: bool = False,
+    precision: str = "highest",
 ) -> jnp.ndarray:
     """Slot-space instance adjacency [bs, L, L] (large_scale_feat_to_e.cpp:33-150).
 
@@ -217,7 +224,7 @@ def instance_edges(
     attn = clamp_softmax(attn, clamp_edge_attn)
     attn = _zero_nans(attn)
     proj = jax.nn.one_hot(slots.pos_to_slot, L, dtype=jnp.float32)  # [bs, L, S=L]
-    edges = _pair_mean_edges(proj, attn, geo_sim, mean)  # [bs, L, L, 2]
+    edges = _pair_mean_edges(proj, attn, geo_sim, mean, precision)  # [bs, L, L, 2]
     edges = normalize_sum(edges, axis=2)
     if remove_self_loop:
         eye = jnp.eye(L, dtype=bool)[None, :, :, None]
@@ -242,6 +249,7 @@ def class_limited_edges(
     clamp_edge_attn: Optional[float] = None,
     mean: bool = True,
     remove_self_loop: bool = False,
+    precision: str = "highest",
 ) -> jnp.ndarray:
     """[bs, V_max, V_max] edges restricted to each sample's class vertex set.
 
@@ -254,7 +262,7 @@ def class_limited_edges(
     my_class_codes = class_ingredients[labels]  # [bs, V_max]
     # position l maps to slot s iff its code equals the class's s-th ingredient
     proj = (ingredients[:, :, None] == my_class_codes[:, None, :]).astype(jnp.float32)
-    edges = _pair_mean_edges(proj, attn, geo_sim, mean)  # [bs, Vmax, Vmax, 2]
+    edges = _pair_mean_edges(proj, attn, geo_sim, mean, precision)  # [bs, Vmax, Vmax, 2]
     # feat_to_limited_edges: normalize_sum_ dim=2, zero diag, blend (schema_net.py:249-254)
     edges = normalize_sum(edges, axis=2)
     if remove_self_loop:

@@ -49,6 +49,9 @@ class AtlasConfig:
     prune_node_threshold: Optional[float] = None
     apply_normalize: bool = True
     clamp_weights: bool = True
+    # matmul precision of the graph-build contractions: 'highest' (fp32,
+    # CPU-reference parity) or 'default' (bf16 MXU pass, ~4x faster training)
+    graph_precision: str = "highest"
 
     @property
     def v_max(self) -> int:
@@ -169,6 +172,7 @@ class SchemaAtlas(nn.Module):
             self.edge_attribute_weights,
             clamp_edge_attn=c.clamp_edge_attn,
             remove_self_loop=c.remove_self_loop,
+            precision=c.graph_precision,
         )
         return {
             "instance_ingredients": slots.codes,
@@ -206,6 +210,7 @@ class SchemaAtlas(nn.Module):
             self.edge_attribute_weights,
             clamp_edge_attn=c.clamp_edge_attn,
             remove_self_loop=c.remove_self_loop,
+            precision=c.graph_precision,
         )
 
 

@@ -119,6 +119,7 @@ class SchemaNetPredictor(nn.Module):
     num_codes: int
     code_dim: int
     uniform_range: Tuple[float, float] = (-1.0, 1.0)
+    dtype: Any = jnp.float32
 
     def setup(self):
         self.ingredient_backbone = IngredientBackbone(
@@ -137,6 +138,7 @@ class SchemaNetPredictor(nn.Module):
             num_layers=self.cfg.gnn_num_layers,
             identity_proj=self.cfg.gnn_identity_proj,
             activation=self.cfg.gnn_activation,
+            dtype=self.dtype,
             name="matcher",
         )
 
@@ -201,9 +203,10 @@ def build_predictor(
     code_dim: int,
     encode_layer: int,
     uniform_range: Tuple[float, float] = (-1.0, 1.0),
+    dtype=jnp.float32,
 ) -> SchemaNetPredictor:
     """Assemble from reference-style YAML blocks (worker_schema_net.py:337-364)."""
-    backbone = get_model(model_cfg, num_classes)
+    backbone = get_model(model_cfg, num_classes, dtype=dtype)
     atlas_cfg = AtlasConfig.from_cfg(
         num_vertices=num_codes,
         num_classes=num_classes,
@@ -225,4 +228,5 @@ def build_predictor(
         num_codes=num_codes,
         code_dim=code_dim,
         uniform_range=uniform_range,
+        dtype=dtype,
     )
