@@ -174,6 +174,75 @@ def final_resize(size: Optional[int]) -> Optional[Transform]:
     return run
 
 
+# ---------------------------------------------------------------------------
+# Native fast path: express each aug pipeline as ONE (crop, flip) parameter
+# sample; the fused C++ kernel (native/imagepipe) then does
+# crop+flip+resize+normalize in a single pass. Semantically:
+#   cifar train:    RandomCrop(32, pad=4)+flip, then resize -> crop window may
+#                   extend outside the image (zero padding), like torch's pad.
+#   imagenet train: RandomResizedCrop(scale .6-1)+flip == sample a crop box,
+#                   resize it to the output size.
+#   imagenet val:   Resize(256 short edge)+CenterCrop(224) == center crop of
+#                   size short*224/256, resized to 224 (same box, one filter
+#                   pass instead of two).
+#   no aug:         full-image crop + resize.
+# ---------------------------------------------------------------------------
+
+
+def _params_cifar_train(shape, rng):
+    h, w = shape[:2]
+    pad = 4
+    top = int(rng.integers(0, 2 * pad + 1)) - pad
+    left = int(rng.integers(0, 2 * pad + 1)) - pad
+    return top, left, h, w, rng.random() < 0.5
+
+
+def _params_rrc_train(shape, rng, scale=(0.6, 1.0), ratio=(3 / 4, 4 / 3)):
+    h, w = shape[:2]
+    area = h * w
+    for _ in range(10):
+        target_area = area * rng.uniform(*scale)
+        aspect = np.exp(rng.uniform(*np.log(ratio)))
+        cw = int(round(np.sqrt(target_area * aspect)))
+        ch = int(round(np.sqrt(target_area / aspect)))
+        if 0 < cw <= w and 0 < ch <= h:
+            top = int(rng.integers(0, h - ch + 1))
+            left = int(rng.integers(0, w - cw + 1))
+            return top, left, ch, cw, rng.random() < 0.5
+    side = min(h, w)
+    return (h - side) // 2, (w - side) // 2, side, side, rng.random() < 0.5
+
+
+def _params_imagenet_val(shape, rng):
+    h, w = shape[:2]
+    short = min(h, w)
+    crop = max(1, int(round(short * 224.0 / 256.0)))
+    return (h - crop) // 2, (w - crop) // 2, crop, crop, False
+
+
+def _params_identity(shape, rng):
+    h, w = shape[:2]
+    return 0, 0, h, w, False
+
+
+NATIVE_AUG_REGISTRY: Dict[str, Callable] = {
+    "cifar_10_train": _params_cifar_train,
+    "cifar_100_train": _params_cifar_train,
+    "cifar_10_val": _params_identity,
+    "cifar_100_val": _params_identity,
+    "synthetic_train": _params_identity,
+    "synthetic_val": _params_identity,
+}
+for _name in _IMAGENET_LIKE:
+    NATIVE_AUG_REGISTRY[f"{_name}_train"] = _params_rrc_train
+    NATIVE_AUG_REGISTRY[f"{_name}_val"] = _params_imagenet_val
+
+
+def get_native_params_fn(dataset_name: str, split: str) -> Optional[Callable]:
+    key = f"{dataset_name}_{'train' if split == 'train' else 'val'}"
+    return NATIVE_AUG_REGISTRY.get(key)
+
+
 # standard ImageNet statistics; overridable per dataset yaml (mean/std keys)
 DEFAULT_MEAN = (0.485, 0.456, 0.406)
 DEFAULT_STD = (0.229, 0.224, 0.225)

@@ -18,12 +18,14 @@ from typing import Any, Callable, Dict, Iterator, Optional, Sequence
 import jax
 import numpy as np
 
+from . import native
 from .augment import (
     DEFAULT_MEAN,
     DEFAULT_STD,
     compose,
     final_resize,
     get_augmentation,
+    get_native_params_fn,
     normalize_batch,
 )
 
@@ -59,6 +61,15 @@ class DataLoader:
         if aug is None:
             aug = get_augmentation(getattr(dataset, "name", ""), split)
         self.transform = compose(aug, final_resize(resize))
+        # fused native fast path (crop+flip+resize+normalize in C++): used when
+        # the dataset's aug pipeline has a crop-param form and no custom
+        # transform was supplied
+        self._native_params = (
+            get_native_params_fn(getattr(dataset, "name", ""), split)
+            if transform is None and resize and native.available()
+            else None
+        )
+        self._out_size = (resize, resize) if resize else None
         self._pcount = process_count if process_count is not None else jax.process_count()
         self._pindex = process_index if process_index is not None else jax.process_index()
         assert batch_size % self._pcount == 0, "global batch must divide process count"
@@ -84,8 +95,14 @@ class DataLoader:
     def _load_one(self, idx: int, rng_seed: int):
         img, label = self.dataset[int(idx)]
         rng = np.random.default_rng(rng_seed)
-        img = self.transform(np.asarray(img), rng)
-        return img, label
+        img = np.asarray(img)
+        if self._native_params is not None:
+            top, left, ch, cw, flip = self._native_params(img.shape, rng)
+            out = native.process_sample(
+                img, top, left, ch, cw, flip, self._out_size, self.mean, self.std
+            )
+            return out, label, True
+        return self.transform(img, rng), label, False
 
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
         order = self._indices()
@@ -110,9 +127,11 @@ class DataLoader:
             out = [j.result() for j in jobs]
             images = np.stack([o[0] for o in out])
             labels = np.asarray([o[1] for o in out], np.int32)
+            if not out[0][2]:  # PIL path returns uint8; normalize here
+                images = normalize_batch(images, self.mean, self.std)
             valid = (np.arange(self.local_batch_size) < n_valid).astype(np.float32)
             yield {
-                "image": normalize_batch(images, self.mean, self.std),
+                "image": images,
                 "label": labels,
                 "valid": valid,
             }

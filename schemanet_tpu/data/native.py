@@ -1,0 +1,122 @@
+"""ctypes bindings for the native host-side image pipeline (native/imagepipe).
+
+Provides a fused crop+flip+antialiased-resize+normalize fast path for the data
+loader; falls back to the PIL/numpy path transparently when the shared library
+has not been built (``native/build.sh``).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import logging
+import os
+import subprocess
+from typing import Optional, Sequence
+
+import numpy as np
+
+logger = logging.getLogger(__name__)
+
+_LIB: Optional[ctypes.CDLL] = None
+_TRIED = False
+
+
+def _lib_path() -> str:
+    root = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    return os.path.join(root, "native", "libimagepipe.so")
+
+
+def load_library(build_if_missing: bool = True) -> Optional[ctypes.CDLL]:
+    global _LIB, _TRIED
+    if _LIB is not None or _TRIED:
+        return _LIB
+    _TRIED = True
+    path = _lib_path()
+    if not os.path.isfile(path) and build_if_missing:
+        script = os.path.join(os.path.dirname(path), "build.sh")
+        if os.path.isfile(script):
+            try:
+                subprocess.run([script], check=True, capture_output=True, timeout=120)
+            except Exception as exc:  # pragma: no cover - toolchain missing
+                logger.info("native imagepipe build failed (%s); using PIL path", exc)
+                return None
+    if not os.path.isfile(path):
+        return None
+    try:
+        lib = ctypes.CDLL(path)
+    except OSError as exc:  # pragma: no cover
+        logger.info("cannot load %s (%s); using PIL path", path, exc)
+        return None
+    u8p = np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")
+    f32p = np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS")
+    i32p = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
+    lib.ip_process_sample.argtypes = [
+        u8p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        f32p, ctypes.c_int, ctypes.c_int, f32p, f32p,
+    ]
+    lib.ip_process_batch.argtypes = [
+        u8p, ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        i32p, i32p, ctypes.c_int, ctypes.c_int, i32p,
+        f32p, ctypes.c_int, ctypes.c_int, f32p, f32p,
+    ]
+    lib.ip_version.restype = ctypes.c_int
+    _LIB = lib
+    logger.info("native imagepipe v%d loaded", lib.ip_version())
+    return _LIB
+
+
+def available() -> bool:
+    return load_library() is not None
+
+
+def process_sample(
+    img: np.ndarray,  # uint8 HWC
+    top: int,
+    left: int,
+    crop_h: int,
+    crop_w: int,
+    flip: bool,
+    out_size: Sequence[int],
+    mean: Sequence[float],
+    std: Sequence[float],
+) -> np.ndarray:
+    lib = load_library()
+    assert lib is not None
+    img = np.ascontiguousarray(img, np.uint8)
+    h, w, c = img.shape
+    oh, ow = out_size
+    dst = np.empty((oh, ow, c), np.float32)
+    lib.ip_process_sample(
+        img, h, w, c, int(top), int(left), int(crop_h), int(crop_w), int(bool(flip)),
+        dst, oh, ow,
+        np.asarray(mean, np.float32), np.asarray(std, np.float32),
+    )
+    return dst
+
+
+def process_batch(
+    images: np.ndarray,  # uint8 [n, h, w, c] same-size batch
+    tops: np.ndarray,
+    lefts: np.ndarray,
+    crop_h: int,
+    crop_w: int,
+    flips: np.ndarray,
+    out_size: Sequence[int],
+    mean: Sequence[float],
+    std: Sequence[float],
+) -> np.ndarray:
+    lib = load_library()
+    assert lib is not None
+    images = np.ascontiguousarray(images, np.uint8)
+    n, h, w, c = images.shape
+    oh, ow = out_size
+    dst = np.empty((n, oh, ow, c), np.float32)
+    lib.ip_process_batch(
+        images, n, h, w, c,
+        np.ascontiguousarray(tops, np.int32), np.ascontiguousarray(lefts, np.int32),
+        int(crop_h), int(crop_w), np.ascontiguousarray(flips, np.int32),
+        dst, oh, ow,
+        np.asarray(mean, np.float32), np.asarray(std, np.float32),
+    )
+    return dst

@@ -1,0 +1,91 @@
+"""Native (C++) fused image pipeline vs the PIL/numpy reference path."""
+
+import numpy as np
+import pytest
+
+from schemanet_tpu.data import native
+from schemanet_tpu.data.augment import (
+    DEFAULT_MEAN,
+    DEFAULT_STD,
+    center_crop,
+    compose,
+    final_resize,
+    normalize_batch,
+    resize,
+)
+
+pytestmark = pytest.mark.skipif(not native.available(), reason="libimagepipe not built")
+
+
+def test_identity_resize_matches_pil(rng):
+    img = rng.integers(0, 256, size=(32, 32, 3)).astype(np.uint8)
+    got = native.process_sample(
+        img, 0, 0, 32, 32, False, (224, 224), DEFAULT_MEAN, DEFAULT_STD
+    )
+    want = normalize_batch(
+        final_resize(224)(img, rng)[None], DEFAULT_MEAN, DEFAULT_STD
+    )[0]
+    # filter models differ slightly (PIL bilinear vs our triangle) — demand
+    # close agreement in normalized space
+    assert got.shape == want.shape == (224, 224, 3)
+    err = np.abs(got - want)
+    assert np.median(err) < 0.05, np.median(err)
+    assert err.mean() < 0.1, err.mean()
+
+
+def test_flip_consistency(rng):
+    img = rng.integers(0, 256, size=(32, 32, 3)).astype(np.uint8)
+    plain = native.process_sample(img, 0, 0, 32, 32, False, (64, 64), (0, 0, 0), (1, 1, 1))
+    flipped = native.process_sample(img, 0, 0, 32, 32, True, (64, 64), (0, 0, 0), (1, 1, 1))
+    np.testing.assert_allclose(flipped, plain[:, ::-1], atol=1e-4)
+
+
+def test_zero_padding_crop(rng):
+    """Negative crop origin == constant zero padding (CIFAR pad-4 crop)."""
+    img = rng.integers(1, 256, size=(32, 32, 3)).astype(np.uint8)
+    out = native.process_sample(img, -4, -4, 32, 32, False, (32, 32), (0, 0, 0), (1, 1, 1))
+    # output is the source shifted down-right by 4 (divided by 255), zeros at top/left
+    np.testing.assert_allclose(out[:3, :3], 0.0, atol=1e-5)
+    np.testing.assert_allclose(
+        out[5:30, 5:30], img[1:26, 1:26].astype(np.float32) / 255.0, atol=2e-2
+    )
+
+
+def test_crop_matches_numpy_crop_resize(rng):
+    img = rng.integers(0, 256, size=(48, 64, 3)).astype(np.uint8)
+    top, left, ch, cw = 8, 10, 32, 40
+    got = native.process_sample(img, top, left, ch, cw, False, (32, 32), (0, 0, 0), (1, 1, 1))
+    crop = img[top : top + ch, left : left + cw]
+    want = final_resize(32)(crop, rng).astype(np.float32) / 255.0
+    err = np.abs(got - want)
+    assert np.median(err) < 0.05
+
+
+def test_loader_uses_native_path(rng):
+    from schemanet_tpu.data.datasets import build_synthetic
+    from schemanet_tpu.data.loader import DataLoader
+
+    ds = build_synthetic(num_classes=3, num_samples=32, image_size=32)
+    loader = DataLoader(ds, batch_size=8, split="train", seed=0, resize=64, num_workers=2)
+    assert loader._native_params is not None
+    batch = next(iter(loader))
+    assert batch["image"].shape == (8, 64, 64, 3)
+    assert batch["image"].dtype == np.float32
+    # normalized: roughly centered values
+    assert abs(float(batch["image"].mean())) < 3.0
+
+
+def test_native_batch_equals_per_sample(rng):
+    images = rng.integers(0, 256, size=(4, 32, 32, 3)).astype(np.uint8)
+    tops = np.array([0, -2, 1, 3], np.int32)
+    lefts = np.array([0, 2, -1, 0], np.int32)
+    flips = np.array([0, 1, 0, 1], np.int32)
+    batch = native.process_batch(
+        images, tops, lefts, 32, 32, flips, (48, 48), DEFAULT_MEAN, DEFAULT_STD
+    )
+    for i in range(4):
+        one = native.process_sample(
+            images[i], tops[i], lefts[i], 32, 32, bool(flips[i]), (48, 48),
+            DEFAULT_MEAN, DEFAULT_STD,
+        )
+        np.testing.assert_allclose(batch[i], one, atol=1e-6)
