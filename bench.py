@@ -96,9 +96,14 @@ def main():
     image = jnp.asarray(data_rng.normal(size=(batch_size, 224, 224, 3)).astype(np.float32))
     label_ = jnp.asarray(data_rng.integers(0, num_classes, size=(batch_size,)), jnp.int32)
 
+    print(f"bench: compiling train step (bs={batch_size}, dtype={dtype.__name__})...",
+          file=sys.stderr, flush=True)
+    t_compile = time.perf_counter()
     # warmup (compile)
     params, opt_state, loss = train_step(params, opt_state, image, label_)
     jax.block_until_ready(loss)
+    print(f"bench: compiled in {time.perf_counter()-t_compile:.0f}s; timing {steps} steps",
+          file=sys.stderr, flush=True)
 
     t0 = time.perf_counter()
     for _ in range(steps):

@@ -169,6 +169,49 @@ def device_prefetch(
         yield item
 
 
+def build_eval_loader(data_cfg: Dict[str, Any], val_cfg: Dict[str, Any], seed: int = 0):
+    """(val_loader, num_classes) — reference build_eval_dataloader
+    (data/__init__.py:16-76)."""
+    from .datasets import get_dataset
+
+    val_set = get_dataset(data_cfg, "val")
+    loader = DataLoader(
+        val_set,
+        batch_size=val_cfg["batch_size"],
+        split="val",
+        shuffle=False,
+        drop_last=False,
+        seed=seed,
+        resize=data_cfg.get("resize"),
+        mean=data_cfg.get("mean", DEFAULT_MEAN),
+        std=data_cfg.get("std", DEFAULT_STD),
+        num_workers=val_cfg.get("num_workers", 8),
+    )
+    return loader, val_set.num_classes
+
+
+def build_adv_loader(data_cfg: Dict[str, Any], val_cfg: Dict[str, Any], seed: int = 0):
+    """Val-transform TRAIN-split dataset for adversarial/analysis use —
+    reference build_adv_dataset (data/__init__.py:150-177, an exact duplicate
+    of build_eval_dataset apart from the split)."""
+    from .datasets import get_dataset
+
+    train_set = get_dataset(data_cfg, "train")
+    loader = DataLoader(
+        train_set,
+        batch_size=val_cfg["batch_size"],
+        split="val",  # val transforms on the train split
+        shuffle=False,
+        drop_last=False,
+        seed=seed,
+        resize=data_cfg.get("resize"),
+        mean=data_cfg.get("mean", DEFAULT_MEAN),
+        std=data_cfg.get("std", DEFAULT_STD),
+        num_workers=val_cfg.get("num_workers", 8),
+    )
+    return loader, train_set.num_classes
+
+
 def build_loaders(
     data_cfg: Dict[str, Any],
     train_cfg: Dict[str, Any],

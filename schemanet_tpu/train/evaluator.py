@@ -85,6 +85,64 @@ class Evaluation:
         }
 
 
+class IncEvaluation:
+    """Incremental/continual multi-task evaluation (reference
+    ``eval/inc_evaluation.py:17-127``; latent there — not exported by the
+    package): each task covers a contiguous label range; per-task accuracy is
+    computed with labels offset into task-local space, plus overall accuracy
+    over the concatenated head."""
+
+    def __init__(
+        self,
+        apply_fn,  # (params, buffers, image, task) -> output with 'pred'
+        val_loaders,  # one loader per task
+        classes_per_task,  # list of class counts, one per task
+        batch_sharding=None,
+    ):
+        self.val_loaders = list(val_loaders)
+        self.classes_per_task = list(classes_per_task)
+        self.offsets = np.concatenate([[0], np.cumsum(self.classes_per_task)])
+        self.batch_sharding = batch_sharding
+
+        def step(params, buffers, batch, task: int):
+            out = apply_fn(params, buffers, batch["image"], task)
+            pred = out["pred"]["pred"] if isinstance(out["pred"], dict) else out["pred"]
+            valid = batch.get("valid", jnp.ones(pred.shape[0], jnp.float32))
+            local_label = batch["label"] - int(self.offsets[task])
+            lo, hi = int(self.offsets[task]), int(self.offsets[task + 1])
+            task_pred = pred[:, lo:hi]
+            correct_task = (jnp.argmax(task_pred, 1) == local_label).astype(jnp.float32)
+            correct_all = (jnp.argmax(pred, 1) == batch["label"]).astype(jnp.float32)
+            return {
+                "task_correct": jnp.sum(correct_task * valid),
+                "all_correct": jnp.sum(correct_all * valid),
+                "n": jnp.sum(valid),
+            }
+
+        self._step = jax.jit(step, static_argnums=(3,))
+
+    def __call__(self, params, buffers=None):
+        buffers = buffers if buffers is not None else {}
+        per_task = {}
+        total_correct = total_n = 0.0
+        for task, loader in enumerate(self.val_loaders):
+            t_correct = a_correct = n = 0.0
+            for batch in loader:
+                if self.batch_sharding is not None:
+                    batch = {k: jax.device_put(v, self.batch_sharding) for k, v in batch.items()}
+                out = self._step(params, buffers, batch, task)
+                t_correct += float(out["task_correct"])
+                a_correct += float(out["all_correct"])
+                n += float(out["n"])
+            per_task[task] = {
+                "acc_task": t_correct / max(n, 1.0),
+                "acc_all": a_correct / max(n, 1.0),
+            }
+            total_correct += a_correct
+            total_n += n
+        return {"per_task": per_task, "acc": total_correct / max(total_n, 1.0)}
+
+
 class CBEvaluation:
     """Agreement between quantised and original mid-feature classification."""
 
