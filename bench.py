@@ -57,10 +57,15 @@ def main():
         code_dim=192, encode_layer=9, dtype=dtype,
     )
 
-    rng = jax.random.PRNGKey(0)
-    x_init = jnp.zeros((2, 224, 224, 3), jnp.float32)
-    variables = predictor.init(rng, x_init)
-    params, buffers = variables["params"], variables["buffers"]
+    # initialise on the host CPU backend: param init needs no TPU and skipping
+    # its TPU compile roughly halves bench startup on remote-compile setups
+    cpu = jax.devices("cpu")[0]
+    with jax.default_device(cpu):
+        rng = jax.random.PRNGKey(0)
+        x_init = jnp.zeros((2, 224, 224, 3), jnp.float32)
+        variables = predictor.init(rng, x_init)
+    params = jax.device_put(variables["params"], jax.devices()[0])
+    buffers = jax.device_put(variables["buffers"], jax.devices()[0])
 
     loss_fn = get_loss_fn({"name": "schema_inference_loss"})
     weights = {"cls": 1.0, "re_entropy_vertex": 0.5, "re_entropy_edge": 0.75}

@@ -68,13 +68,21 @@ def vertex_attributes_full(
     Codes absent from a sample get (0, 0) — identical to the C++ zeros init.
     """
     bs, L = ingredients.shape
-    ones = jnp.ones((bs, L), dtype=jnp.float32)
-    count = jnp.zeros((bs, num_vertices), jnp.float32).at[
-        jnp.arange(bs)[:, None], ingredients
-    ].add(ones)
-    attn_sum = jnp.zeros((bs, num_vertices), jnp.float32).at[
-        jnp.arange(bs)[:, None], ingredients
-    ].add(attn_cls.astype(jnp.float32))
+    # one-hot matmul instead of scatter-add: XLA serialises TPU scatters per
+    # update (O(bs*L) sequential dynamic-update-slices) while this is one MXU
+    # contraction. The one-hot is exact in bf16; accumulation is fp32.
+    onehot = jax.nn.one_hot(ingredients, num_vertices, dtype=jnp.float32)  # [bs, L, V]
+    count = jnp.sum(onehot, axis=1)
+    attn_f = attn_cls.astype(jnp.float32)
+    nan_in = jnp.isnan(attn_f)
+    attn_sum = jnp.einsum(
+        "blv,bl->bv", onehot, jnp.where(nan_in, 0.0, attn_f),
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    # restore torch semantics: a code whose positions carried NaN attention
+    # sums to NaN (NaN * onehot-0 would otherwise poison every code)
+    nan_hit = jnp.einsum("blv,bl->bv", onehot, nan_in.astype(jnp.float32)) > 0
+    attn_sum = jnp.where(nan_hit, jnp.nan, attn_sum)
     if mean:
         attn_val = jnp.where(count > 0, attn_sum / jnp.maximum(count, 1.0), 0.0)
         # NaN attention sums (all -inf softmax rows) must stay NaN like torch
@@ -130,14 +138,22 @@ def compact_instance_slots(ingredients: jnp.ndarray, num_codes: int) -> Instance
     # slot id of each *sorted* position
     slot_of_sorted = jnp.cumsum(is_new.astype(jnp.int32), axis=1) - 1  # [bs, L]
     num_slots = slot_of_sorted[:, -1] + 1
-    # scatter sorted codes into their slots (first occurrence wins; all equal)
-    b_idx = jnp.arange(bs)[:, None]
-    codes = jnp.full((bs, L), num_codes, jnp.int32).at[b_idx, slot_of_sorted].set(
-        sorted_codes.astype(jnp.int32)
-    )
-    # invert the sort to map original positions to slots
-    pos_to_slot = jnp.zeros((bs, L), jnp.int32).at[b_idx, order].set(slot_of_sorted)
-    mask = jnp.arange(L)[None, :] < num_slots[:, None]
+    # NO scatters below — XLA serialises TPU scatter as O(bs*L) update slices.
+    # codes[b, s] = the sorted code at the first position whose slot == s;
+    # slot_of_sorted is non-decreasing so searchsorted finds first occurrence.
+    slot_ids = jnp.arange(L, dtype=jnp.int32)
+    first_pos = jax.vmap(
+        lambda row: jnp.searchsorted(row, slot_ids, side="left")
+    )(slot_of_sorted)  # [bs, L] (== L when slot unused)
+    codes = jnp.where(
+        slot_ids[None, :] < num_slots[:, None],
+        jnp.take_along_axis(sorted_codes, jnp.minimum(first_pos, L - 1), axis=1),
+        num_codes,
+    ).astype(jnp.int32)
+    # invert the sort permutation via ranking: inv(order) = argsort(order)
+    inv_order = jnp.argsort(order, axis=1)
+    pos_to_slot = jnp.take_along_axis(slot_of_sorted, inv_order, axis=1)
+    mask = slot_ids[None, :] < num_slots[:, None]
     return InstanceSlots(codes, pos_to_slot, num_slots, mask)
 
 
@@ -157,12 +173,12 @@ def instance_vertices(
     bs, L = slots.pos_to_slot.shape
     attn_cls = clamp_softmax(attn_cls, clamp_vertex_attn)
     attn_cls = _zero_nans(attn_cls)  # schema_net.py:297 .nan_to_num(0)
-    b_idx = jnp.arange(bs)[:, None]
-    count = jnp.zeros((bs, L), jnp.float32).at[b_idx, slots.pos_to_slot].add(
-        jnp.ones((bs, L), jnp.float32)
-    )
-    attn_sum = jnp.zeros((bs, L), jnp.float32).at[b_idx, slots.pos_to_slot].add(
-        attn_cls.astype(jnp.float32)
+    # one-hot contraction instead of scatter-add (see vertex_attributes_full)
+    proj = jax.nn.one_hot(slots.pos_to_slot, L, dtype=jnp.float32)  # [bs, L, S]
+    count = jnp.sum(proj, axis=1)
+    attn_sum = jnp.einsum(
+        "bls,bl->bs", proj, attn_cls.astype(jnp.float32),
+        precision=jax.lax.Precision.HIGHEST,
     )
     attn_val = attn_sum / jnp.maximum(count, 1.0) if mean else attn_sum
     attrs = jnp.stack([count, attn_val], axis=-1)  # [bs, L, 2]

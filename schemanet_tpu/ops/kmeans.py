@@ -71,9 +71,10 @@ def minibatch_step(state: KMeansState, batch: jnp.ndarray) -> KMeansState:
     with per-center step size 1/counts (Sculley's web-scale k-means)."""
     m = state.centers.shape[0]
     ids = vq_assign(batch, state.centers)
-    ones = jnp.ones((batch.shape[0],), jnp.float32)
-    batch_counts = jnp.zeros((m,), jnp.float32).at[ids].add(ones)
-    batch_sums = jnp.zeros_like(state.centers).at[ids].add(batch.astype(jnp.float32))
+    # one-hot matmul instead of scatter-add (TPU scatters serialise)
+    onehot = jax.nn.one_hot(ids, m, dtype=jnp.float32)  # [n, M]
+    batch_counts = jnp.sum(onehot, axis=0)
+    batch_sums = jnp.einsum("nm,nd->md", onehot, batch.astype(jnp.float32))
     new_counts = state.counts + batch_counts
     # per-sample running-mean update aggregated per batch:
     # c <- c + (sum_batch - n_batch * c) / new_count   (exact for batch lr 1/n)
@@ -91,9 +92,9 @@ def lloyd_step(centers: jnp.ndarray, data: jnp.ndarray) -> Tuple[jnp.ndarray, jn
     Returns (new_centers, mean squared distance)."""
     m = centers.shape[0]
     ids = vq_assign(data, centers)
-    ones = jnp.ones((data.shape[0],), jnp.float32)
-    counts = jnp.zeros((m,), jnp.float32).at[ids].add(ones)
-    sums = jnp.zeros_like(centers).at[ids].add(data.astype(jnp.float32))
+    onehot = jax.nn.one_hot(ids, m, dtype=jnp.float32)  # [n, M]
+    counts = jnp.sum(onehot, axis=0)
+    sums = jnp.einsum("nm,nd->md", onehot, data.astype(jnp.float32))
     new_centers = jnp.where(
         counts[:, None] > 0, sums / jnp.maximum(counts, 1.0)[:, None], centers
     )
