@@ -104,16 +104,20 @@ def main():
     print(f"bench: compiling train step (bs={batch_size}, dtype={dtype.__name__})...",
           file=sys.stderr, flush=True)
     t_compile = time.perf_counter()
-    # warmup (compile)
+    # warmup TWICE: the state returned by step 1 can differ from the freshly
+    # device_put state (weak types / layouts), triggering one more compile —
+    # feed it back through before timing so the timed loop is compile-free
     params, opt_state, loss = train_step(params, opt_state, image, label_)
-    jax.block_until_ready(loss)
+    np.asarray(loss)
+    params, opt_state, loss = train_step(params, opt_state, image, label_)
+    np.asarray(loss)  # host fetch: block_until_ready is unreliable on axon
     print(f"bench: compiled in {time.perf_counter()-t_compile:.0f}s; timing {steps} steps",
           file=sys.stderr, flush=True)
 
     t0 = time.perf_counter()
     for _ in range(steps):
         params, opt_state, loss = train_step(params, opt_state, image, label_)
-    jax.block_until_ready(loss)
+    np.asarray(loss)  # host fetch forces completion of the whole chain
     dt = time.perf_counter() - t0
 
     n_chips = jax.device_count()

@@ -297,9 +297,12 @@ class Trainer:
         if initial_validation:
             self.logger.info("Initial testing")
             self.validate_and_save(show_tb=False)
+        from ..data.loader import device_prefetch
+
         for self.epoch in range(self.start_epoch, self.cfg.train_epochs):
             self.train_loader.set_epoch(self.epoch)
-            for step, batch in enumerate(self.train_loader):
+            prefetched = device_prefetch(iter(self.train_loader), self.batch_sharding)
+            for step, batch in enumerate(prefetched):
                 metrics = self.train_iter(batch)
                 it = self.iter_count
                 if it % self.cfg.print_interval == 0 and jax.process_index() == 0:
