@@ -1,0 +1,158 @@
+"""Batched inference / serving for SchemaNet predictors.
+
+The reference ships no serving path; its ``SchemaNetPredictor`` docstring
+promises (but never implements) per-code class attributions
+(``graph/__init__.py:19-24``: "attribution to codes w.r.t. each class, shape
+[bs, num_classes, H, W]"). This module provides both:
+
+* ``ServePredictor.predict``: jitted classification over fixed-size
+  microbatches (host batches of any size are split/padded to one compiled
+  shape — no recompiles in production);
+* ``ServePredictor.explain``: interpretability bundle per image — ingredient
+  map [H, W], instance graph, and the promised class-attribution maps
+  ``attribution[b, k, h, w] = atlas vertex weight of the token's code in
+  class k`` (0 when the code is not among class k's vertices).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@dataclasses.dataclass
+class ServePredictor:
+    predictor: Any  # SchemaNetPredictor module
+    params: Any
+    buffers: Any
+    microbatch: int = 64
+
+    def __post_init__(self):
+        variables = {"params": self.params, "buffers": self.buffers}
+
+        @jax.jit
+        def _predict(image):
+            out = self.predictor.apply(variables, image)
+            return out["pred"]
+
+        @jax.jit
+        def _explain(image):
+            out = self.predictor.apply(variables, image, True)
+            c = self.predictor.cfg.atlas
+            ingredients = out["ingredients"]  # [bs, L]
+            class_vertices = out["class_vertices"]  # [K, V_max]
+            class_ingredients = out["class_ingredients"]  # [K, V_max]
+            # token t contributes to class k with the atlas weight of its code's
+            # slot in class k (0 when absent): match codes against each class row
+            match = (
+                ingredients[:, None, :, None] == class_ingredients[None, :, None, :]
+            )  # [bs, K, L, V_max]
+            attribution = jnp.einsum(
+                "bklv,kv->bkl", match.astype(jnp.float32), class_vertices
+            )
+            bs = ingredients.shape[0]
+            attribution = attribution.reshape(bs, -1, c.feat_h, c.feat_w)
+            return {
+                "pred": out["pred"],
+                "ingredients": ingredients.reshape(bs, c.feat_h, c.feat_w),
+                "attribution": attribution,  # [bs, K, H, W]
+                "instance_vertices": out["instance_vertices"],
+                "instance_edges": out["instance_edges"],
+                "instance_ingredients": out["instance_ingredients"],
+                "attn_cls": out["attn_cls"],
+            }
+
+        self._predict = _predict
+        self._explain = _explain
+
+    def _microbatches(self, images: np.ndarray):
+        n = images.shape[0]
+        mb = self.microbatch
+        for start in range(0, n, mb):
+            chunk = images[start : start + mb]
+            pad = mb - chunk.shape[0]
+            if pad:
+                chunk = np.concatenate([chunk, np.repeat(chunk[-1:], pad, axis=0)])
+            yield chunk, mb - pad
+
+    def predict(self, images: np.ndarray) -> np.ndarray:
+        """images [n, H, W, C] float32 (normalised) -> logits [n, K]."""
+        outs = []
+        for chunk, n_valid in self._microbatches(np.asarray(images)):
+            logits = np.asarray(self._predict(jnp.asarray(chunk)))
+            outs.append(logits[:n_valid])
+        return np.concatenate(outs)
+
+    def predict_labels(self, images: np.ndarray) -> np.ndarray:
+        return self.predict(images).argmax(-1)
+
+    def explain(self, images: np.ndarray) -> Dict[str, np.ndarray]:
+        """Interpretability outputs for a (single microbatch of) images."""
+        outs: Dict[str, list] = {}
+        for chunk, n_valid in self._microbatches(np.asarray(images)):
+            res = self._explain(jnp.asarray(chunk))
+            for k, v in res.items():
+                outs.setdefault(k, []).append(np.asarray(v)[:n_valid])
+        return {k: np.concatenate(v) for k, v in outs.items()}
+
+    def explain_networkx(self, images: np.ndarray, sample: int = 0, **kwargs):
+        """Instance graph of one sample as a NetworkX graph (code-id nodes)."""
+        from .schema.convert_graph import to_networkx
+
+        res = self.explain(images)
+        n = int((res["instance_ingredients"][sample] < self.predictor.num_codes).sum())
+        import networkx as nx
+
+        g = to_networkx(
+            res["instance_vertices"][sample][:n],
+            res["instance_edges"][sample][:n, :n],
+            kwargs.pop("edge_threshold", 0.0),
+            kwargs.pop("node_threshold", 0.0),
+            **kwargs,
+        )
+        codes = res["instance_ingredients"][sample]
+        return nx.relabel_nodes(g, {i: int(codes[i]) for i in g.nodes})
+
+
+def load_serve_predictor(
+    bundle_path: str,
+    schema_cfg: Dict[str, Any],
+    ckpt_path: str,
+    num_classes: int,
+    microbatch: int = 64,
+) -> ServePredictor:
+    """Assemble a ServePredictor from a bundle + trained schema checkpoint."""
+    from .pipeline.bundle import load_bundle
+    from .schema.predictor import build_predictor
+    from .train.common import CheckpointManager
+
+    bundle = load_bundle(bundle_path)
+    predictor = build_predictor(
+        model_cfg=bundle.model_cfg,
+        schema_cfg=schema_cfg,
+        num_classes=num_classes,
+        num_codes=bundle.codebook.shape[0],
+        code_dim=bundle.codebook.shape[1],
+        encode_layer=bundle.encode_layer,
+    )
+    dummy = jnp.zeros((1, bundle.img_size, bundle.img_size, 3), jnp.float32)
+    variables = predictor.init(jax.random.PRNGKey(0), dummy, method="init_full")
+    params = dict(variables["params"])
+    buffers = dict(variables["buffers"])
+    params["backbone"] = bundle.backbone_params
+    params["ingredient_backbone"] = {"vocabulary": bundle.codebook}
+    import os
+
+    mgr = CheckpointManager(os.path.dirname(os.path.abspath(ckpt_path)))
+    restored = mgr.restore(
+        os.path.abspath(ckpt_path),
+        {"params": params, "buffers": buffers, "opt_state": None,
+         "step": jnp.zeros((), jnp.int32)},
+    )
+    return ServePredictor(
+        predictor, restored["params"], restored["buffers"], microbatch=microbatch
+    )

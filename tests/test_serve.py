@@ -1,0 +1,58 @@
+"""Serving path: microbatched predict, attribution maps, graph export."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from schemanet_tpu.serve import ServePredictor
+from tests.test_predictor import K, M, make_predictor
+
+
+@pytest.fixture(scope="module")
+def server():
+    predictor = make_predictor()
+    x = jnp.zeros((2, 32, 32, 3), jnp.float32)
+    variables = predictor.init(jax.random.PRNGKey(0), x, method="init_full")
+    return ServePredictor(
+        predictor, variables["params"], variables["buffers"], microbatch=4
+    )
+
+
+def test_predict_microbatching(server, rng):
+    images = rng.normal(size=(10, 32, 32, 3)).astype(np.float32)
+    logits = server.predict(images)
+    assert logits.shape == (10, K)
+    # microbatched result equals per-sample result (padding doesn't leak)
+    one = server.predict(images[3:4])
+    np.testing.assert_allclose(logits[3], one[0], rtol=1e-4, atol=1e-5)
+
+
+def test_explain_attribution(server, rng):
+    images = rng.normal(size=(3, 32, 32, 3)).astype(np.float32)
+    res = server.explain(images)
+    assert res["attribution"].shape == (3, K, 4, 4)
+    assert res["ingredients"].shape == (3, 4, 4)
+    # attribution of token t for class k equals the atlas vertex weight of its
+    # code when present in class k
+    atlas_v = np.asarray(
+        server.predictor.apply(
+            {"params": server.params, "buffers": server.buffers},
+            method=lambda m: m.schema_net.get_atlas(),
+        )["class_vertices"]
+    )
+    class_ing = np.asarray(server.buffers["schema_net"]["class_ingredients"])
+    b, k = 0, 2
+    code = int(res["ingredients"][b, 0, 0])
+    slots = np.where(class_ing[k] == code)[0]
+    want = float(atlas_v[k, slots[0]]) if len(slots) else 0.0
+    np.testing.assert_allclose(res["attribution"][b, k, 0, 0], want, rtol=1e-5)
+
+
+def test_explain_networkx(server, rng):
+    pytest.importorskip("networkx")
+    images = rng.normal(size=(2, 32, 32, 3)).astype(np.float32)
+    g = server.explain_networkx(images, sample=0, node_topk=5, edge_topk=3)
+    assert all(node < M for node in g.nodes)
+    assert len(g.nodes) <= 5
