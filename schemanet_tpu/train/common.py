@@ -155,6 +155,44 @@ def make_optimizer(
 # ---------------------------------------------------------------------------
 
 
+def split_by_labels(params: Any, labels: Any, frozen_label: str = "frozen"):
+    """Split a nested param dict into (trainable, frozen) trees by leaf labels.
+
+    Keeping frozen subtrees OUT of the jitted step's call signature matters
+    beyond cleanliness: each pytree leaf in a jit call costs per-call dispatch
+    marshaling (severe on remote-tunnel backends), and frozen params can be
+    baked into the executable as constants instead.
+    """
+
+    def go(p, l):
+        train, frozen = {}, {}
+        for key, value in p.items():
+            if isinstance(value, dict):
+                t, f = go(value, l[key])
+                if t:
+                    train[key] = t
+                if f:
+                    frozen[key] = f
+            elif l[key] == frozen_label:
+                frozen[key] = value
+            else:
+                train[key] = value
+        return train, frozen
+
+    return go(params, labels)
+
+
+def merge_trees(base: Any, overlay: Any) -> Any:
+    """Deep-merge two nested dicts (overlay wins on leaves)."""
+    out = dict(base)
+    for key, value in overlay.items():
+        if key in out and isinstance(out[key], dict) and isinstance(value, dict):
+            out[key] = merge_trees(out[key], value)
+        else:
+            out[key] = value
+    return out
+
+
 class CheckpointManager:
     """iter-N checkpoints + best copy, like the reference's ckpt dir layout
     (``ckpt/iter-<N>.pth`` / ``best.pth``, worker.py:235-242)."""

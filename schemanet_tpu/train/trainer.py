@@ -28,7 +28,16 @@ from ..parallel.mesh import batch_sharding, make_mesh, shard_params
 from ..schema.loss import weighted_total
 from ..utils.logging_utils import TBWriter
 from ..utils.metrics import tensor_dict_items, topk_accuracy
-from .common import CheckpointManager, TrainState, epoch_schedule, load_metadata, make_optimizer, save_metadata
+from .common import (
+    CheckpointManager,
+    TrainState,
+    epoch_schedule,
+    load_metadata,
+    make_optimizer,
+    merge_trees,
+    save_metadata,
+    split_by_labels,
+)
 
 
 @dataclasses.dataclass
@@ -103,7 +112,7 @@ class Trainer:
             eta_min=float(sched_cfg.pop("eta_min", 0.0) or 0.0),
             T_max=sched_cfg.pop("T_max", None),
         )
-        self.tx, self.param_labels = make_optimizer(
+        _, self.param_labels = make_optimizer(
             params,
             cfg.optimizer,
             self.schedule,
@@ -112,13 +121,25 @@ class Trainer:
             clip_max_norm=cfg.clip_max_norm,
             frozen_patterns=cfg.frozen_patterns,
         )
+        # frozen subtrees leave the train state: they are closure constants of
+        # the jitted steps (no per-call dispatch, no optimizer state)
+        train_params, frozen_params = split_by_labels(params, self.param_labels)
+        self.frozen_params = shard_params(self.mesh, frozen_params)
+        self.tx, _ = make_optimizer(
+            train_params,
+            cfg.optimizer,
+            self.schedule,
+            param_groups=cfg.param_groups,
+            drop_remain=False,
+            clip_max_norm=cfg.clip_max_norm,
+        )
 
-        params = shard_params(self.mesh, params)
+        train_params = shard_params(self.mesh, train_params)
         buffers = shard_params(self.mesh, buffers)
-        opt_state = jax.jit(self.tx.init)(params)
+        opt_state = jax.jit(self.tx.init)(train_params)
         self.state = TrainState(
             step=jnp.zeros((), jnp.int32),
-            params=params,
+            params=train_params,
             buffers=buffers,
             opt_state=opt_state,
             rng=jax.random.PRNGKey(seed),
@@ -144,7 +165,8 @@ class Trainer:
         rng, step_rng = jax.random.split(state.rng)
 
         def compute_loss(p):
-            out = self.apply_fn(p, state.buffers, batch["image"], step_rng, True)
+            full = merge_trees(self.frozen_params, p)
+            out = self.apply_fn(full, state.buffers, batch["image"], step_rng, True)
             loss_dict = self.loss_fn(out, {"label": batch["label"]})
             return weighted_total(loss_dict, self.loss_weights), loss_dict
 
@@ -161,6 +183,7 @@ class Trainer:
         params = state.params
         if self.project_params is not None:
             params = self.project_params(params)
+        params = merge_trees(self.frozen_params, params)
         out = self.apply_fn(params, state.buffers, batch["image"], state.rng, False)
         loss_dict = self.loss_fn(out, {"label": batch["label"]})
         total = weighted_total(loss_dict, self.loss_weights)
@@ -225,6 +248,11 @@ class Trainer:
     def iter_count(self) -> int:
         return int(self.state.step)
 
+    @property
+    def full_params(self):
+        """Trainable params merged back with the frozen closure constants."""
+        return merge_trees(self.frozen_params, self.state.params)
+
     def validate_and_save(self, show_tb: bool = True):
         eval_dict = self.validate()
         acc = eval_dict["acc"][1]
@@ -249,7 +277,7 @@ class Trainer:
             self.ckpt.save(
                 tag,
                 {
-                    "params": self.state.params,
+                    "params": self.full_params,  # frozen + trainable, complete
                     "buffers": self.state.buffers,
                     "opt_state": self.state.opt_state,
                     "step": self.state.step,
@@ -272,14 +300,18 @@ class Trainer:
     def resume(self, tag_or_path: str):
         assert self.ckpt is not None, "resume requires a ckpt_dir"
         template = {
-            "params": self.state.params,
+            "params": self.full_params,
             "buffers": self.state.buffers,
             "opt_state": self.state.opt_state,
             "step": self.state.step,
         }
         restored = self.ckpt.restore(tag_or_path, template)
+        train_params, frozen_params = split_by_labels(
+            restored["params"], self.param_labels
+        )
+        self.frozen_params = shard_params(self.mesh, frozen_params)
         self.state = self.state.replace(
-            params=restored["params"],
+            params=shard_params(self.mesh, train_params),
             buffers=restored["buffers"],
             opt_state=restored["opt_state"],
             step=jnp.asarray(restored["step"], jnp.int32),

@@ -210,10 +210,10 @@ def test_stage4_schema_train_and_eval(stages):
 
     # frozen backbone params unchanged after training
     bundle = load_bundle(stages["bundle_path"])
-    trained_bb = jax.device_get(trainer.state.params["backbone"])
+    trained_bb = jax.device_get(trainer.full_params["backbone"])
     ref_leaf = bundle.backbone_params["cls_token"]
     np.testing.assert_allclose(np.asarray(trained_bb["cls_token"]), np.asarray(ref_leaf))
-    cb_after = jax.device_get(trainer.state.params["ingredient_backbone"]["vocabulary"])
+    cb_after = jax.device_get(trainer.full_params["ingredient_backbone"]["vocabulary"])
     np.testing.assert_allclose(np.asarray(cb_after), stages["codebook"], atol=1e-6)
 
     # atlas was actually trained (changed from init)
@@ -240,7 +240,7 @@ def test_resume_roundtrip(stages, workdir):
     trainer = stages["backbone_result"]["trainer"]
     mgr = CheckpointManager(ckpt_dir)
     template = {
-        "params": jax.device_get(trainer.state.params),
+        "params": jax.device_get(trainer.full_params),
         "buffers": {},
         "opt_state": jax.device_get(trainer.state.opt_state),
         "step": np.zeros((), np.int32),
