@@ -46,12 +46,43 @@ def dot_product_attention(
     return out, attn, attn_raw
 
 
+def split_qkv_params(qkv_params: dict, embed_dim: int):
+    """Slice a fused linear_qkv param dict into (q, k, v) weight/bias views —
+    the functional equivalent of the reference's get_weight_q/k/v accessors
+    (mha.py:42-106). Flax kernels are [in, out], so slices are on axis 1."""
+    kernel = qkv_params["kernel"]
+    bias = qkv_params.get("bias")
+    out = {}
+    for i, name in enumerate("qkv"):
+        sl = slice(i * embed_dim, (i + 1) * embed_dim)
+        out[name] = {
+            "kernel": kernel[:, sl],
+            **({"bias": bias[sl]} if bias is not None else {}),
+        }
+    return out
+
+
+def head_slice(weight: jnp.ndarray, head_id: int, num_heads: int, axis: int = 1):
+    """Per-head slice of a q/k/v kernel (reference get_head_weight)."""
+    head_dim = weight.shape[axis] // num_heads
+    idx = [slice(None)] * weight.ndim
+    idx[axis] = slice(head_id * head_dim, (head_id + 1) * head_dim)
+    return weight[tuple(idx)]
+
+
 class MultiHeadSelfAttention(nn.Module):
+    """Fused-qkv MHSA. ``detach_w_qk``/``detach_w_v`` reproduce the reference's
+    seprate_qkv selective-detach research paths (mha.py:167-193): gradients are
+    stopped through W_q/W_k (resp. W_v) while the forward values are identical
+    to the fused path."""
+
     num_heads: int
     embed_dim: int
     dropout: Optional[float] = None
     use_bias: bool = True
     dtype: jnp.dtype = jnp.float32
+    detach_w_qk: bool = False
+    detach_w_v: bool = False
 
     @nn.compact
     def __call__(
@@ -64,14 +95,18 @@ class MultiHeadSelfAttention(nn.Module):
         bs, n, dim = seq.shape
         head_dim = self.embed_dim // self.num_heads
         # fused qkv projection, matching the reference's single linear_qkv
-        qkv = nn.Dense(
+        dense_qkv = nn.Dense(
             3 * self.embed_dim,
             use_bias=self.use_bias,
             dtype=self.dtype,
             kernel_init=nn.initializers.xavier_uniform(),
             bias_init=nn.initializers.zeros,
             name="linear_qkv",
-        )(seq)
+        )
+        if self.detach_w_qk or self.detach_w_v:
+            qkv = self._detached_qkv(dense_qkv, seq)
+        else:
+            qkv = dense_qkv(seq)
         qkv = qkv.reshape(bs, n, 3, self.num_heads, head_dim)
         q, k, v = (
             jnp.moveaxis(qkv[:, :, i], 1, 2) for i in range(3)
@@ -98,3 +133,28 @@ class MultiHeadSelfAttention(nn.Module):
             name="linear_out",
         )(out)
         return out, attn, attn_raw
+
+    def _detached_qkv(self, dense_qkv: nn.Dense, seq: jnp.ndarray) -> jnp.ndarray:
+        """Apply the fused projection with per-block stop_gradient on the
+        q/k (and/or v) weight slices."""
+        import jax
+
+        # materialise params by applying once (ensures initialisation), then
+        # recompute with sliced/stop-gradient weights
+        _ = dense_qkv(seq[:, :1])
+        kernel = dense_qkv.variables["params"]["kernel"]
+        bias = dense_qkv.variables["params"].get("bias")
+        d = self.embed_dim
+        blocks = []
+        for i in range(3):
+            w = kernel[:, i * d : (i + 1) * d]
+            b = bias[i * d : (i + 1) * d] if bias is not None else None
+            detach = self.detach_w_qk if i < 2 else self.detach_w_v
+            if detach:
+                w = jax.lax.stop_gradient(w)
+                b = jax.lax.stop_gradient(b) if b is not None else None
+            y = jnp.einsum("bnd,do->bno", seq, w.astype(self.dtype))
+            if b is not None:
+                y = y + b.astype(self.dtype)
+            blocks.append(y)
+        return jnp.concatenate(blocks, axis=-1)

@@ -1,0 +1,91 @@
+"""Optimizer factory + LR schedule unit tests."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from schemanet_tpu.train.common import (
+    epoch_schedule,
+    make_optimizer,
+    merge_trees,
+    split_by_labels,
+)
+
+torch = pytest.importorskip("torch")
+
+
+def test_cosine_matches_torch_per_epoch_stepping():
+    """Without warmup, our per-epoch cosine equals torch CosineAnnealingLR
+    stepped once per epoch (the reference's usage, worker.py:256)."""
+    base_lr, t_max, eta_min, spe = 1e-3, 50, 1e-5, 7
+    sched = epoch_schedule("cosine_annealing", base_lr, spe, t_max, 0, eta_min, t_max)
+
+    m = torch.nn.Linear(2, 2)
+    opt = torch.optim.SGD(m.parameters(), lr=base_lr)
+    tsched = torch.optim.lr_scheduler.CosineAnnealingLR(opt, T_max=t_max, eta_min=eta_min)
+    for epoch in range(t_max):
+        want = tsched.get_last_lr()[0]
+        for step_in_epoch in (0, spe - 1):
+            got = float(sched(jnp.asarray(epoch * spe + step_in_epoch)))
+            np.testing.assert_allclose(got, want, rtol=1e-5, err_msg=f"epoch {epoch}")
+        opt.step()
+        tsched.step()
+
+
+def test_warmup_ramp():
+    sched = epoch_schedule("cosine_annealing", 1.0, 1, 50, warmup_iters=10)
+    lrs = [float(sched(jnp.asarray(e))) for e in range(12)]
+    np.testing.assert_allclose(lrs[0], 0.1, rtol=1e-6)  # (e+1)/warmup
+    np.testing.assert_allclose(lrs[9], 1.0, rtol=1e-6)
+    np.testing.assert_allclose(lrs[10], 1.0, rtol=1e-6)  # cosine peak at warmup end
+    assert lrs[11] < 1.0  # decay begins after the peak
+
+
+def test_param_group_labels_and_split():
+    params = {
+        "schema_net": {"vertex_weights": jnp.ones((2, 3)), "edge_weights": jnp.ones((2, 3, 3))},
+        "matcher": {"gnn": {"embedding": jnp.ones((4, 2))}},
+        "backbone": {"cls_token": jnp.ones((1, 1, 2))},
+    }
+    groups = [
+        {"pattern": "schema_net", "cfg": {"weight_decay": 5e-4}},
+        {"pattern": "matcher"},
+    ]
+    tx, labels = make_optimizer(
+        params, {"name": "AdamW", "lr": 1e-3, "weight_decay": 0.05},
+        schedule=lambda s: 1e-3, param_groups=groups, drop_remain=True,
+    )
+    assert labels["schema_net"]["vertex_weights"] == "group_0"
+    assert labels["matcher"]["gnn"]["embedding"] == "group_1"
+    assert labels["backbone"]["cls_token"] == "frozen"
+
+    train, frozen = split_by_labels(params, labels)
+    assert "backbone" not in train and "backbone" in frozen
+    assert "schema_net" in train and "schema_net" not in frozen
+    merged = merge_trees(frozen, train)
+    assert set(merged) == {"schema_net", "matcher", "backbone"}
+
+    # frozen params receive zero update through the full tx
+    state = tx.init(params)
+    grads = jax.tree_util.tree_map(jnp.ones_like, params)
+    updates, _ = tx.update(grads, state, params)
+    np.testing.assert_allclose(np.asarray(updates["backbone"]["cls_token"]), 0.0)
+    assert float(jnp.abs(updates["schema_net"]["vertex_weights"]).sum()) > 0
+
+
+def test_per_group_lr_scale():
+    params = {"a": {"w": jnp.ones(3)}, "b": {"w": jnp.ones(3)}}
+    groups = [{"pattern": "a", "cfg": {"lr": 1e-2}}, {"pattern": "b"}]
+    tx, _ = make_optimizer(
+        params, {"name": "sgd", "lr": 1e-3}, schedule=lambda s: jnp.asarray(1e-3),
+        param_groups=groups,
+    )
+    state = tx.init(params)
+    grads = jax.tree_util.tree_map(jnp.ones_like, params)
+    updates, _ = tx.update(grads, state, params)
+    # group a runs at 10x the base lr
+    ratio = float(updates["a"]["w"][0] / updates["b"]["w"][0])
+    np.testing.assert_allclose(ratio, 10.0, rtol=1e-5)
