@@ -23,8 +23,24 @@ def vq_assign(
     x: jnp.ndarray,  # [..., d]
     codebook: jnp.ndarray,  # [M, d]
     compute_dtype=jnp.float32,
+    backend: str = "auto",
 ) -> jnp.ndarray:
-    """Return nearest-code ids with the leading shape of ``x``."""
+    """Return nearest-code ids with the leading shape of ``x``.
+
+    ``backend``: 'xla' (score matrix in HBM, fused argmin by XLA), 'pallas'
+    (streaming-argmin kernel, ops/pallas/vq.py — TPU only, worthwhile for
+    large vocabularies where the [N, M] score materialisation dominates), or
+    'auto' (currently = 'xla'; device context at trace time is ambiguous, so
+    pallas stays opt-in via the SCHEMANET_VQ_BACKEND env var or explicit arg).
+    """
+    if backend == "auto":
+        import os
+
+        backend = os.environ.get("SCHEMANET_VQ_BACKEND", "xla")
+    if backend == "pallas":
+        from .pallas.vq import vq_assign_pallas
+
+        return vq_assign_pallas(x, codebook)
     flat = x.reshape(-1, x.shape[-1]).astype(compute_dtype)
     cb = codebook.astype(compute_dtype)
     precision = (

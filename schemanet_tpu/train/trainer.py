@@ -47,6 +47,7 @@ class TrainerConfig:
     val_interval: int = 500
     batch_size: int = 64
     clip_max_norm: Optional[float] = None
+    remat: bool = False  # jax.checkpoint the loss: trade recompute for memory
     optimizer: Dict[str, Any] = dataclasses.field(default_factory=dict)
     lr_schedule: Dict[str, Any] = dataclasses.field(default_factory=dict)
     param_groups: Optional[Sequence[Dict[str, Any]]] = None
@@ -170,6 +171,8 @@ class Trainer:
             loss_dict = self.loss_fn(out, {"label": batch["label"]})
             return weighted_total(loss_dict, self.loss_weights), loss_dict
 
+        if self.cfg.remat:
+            compute_loss = jax.checkpoint(compute_loss)
         (total, loss_dict), grads = jax.value_and_grad(compute_loss, has_aux=True)(params)
         updates, opt_state = self.tx.update(grads, state.opt_state, params)
         params = optax.apply_updates(params, updates)

@@ -141,6 +141,11 @@ def schema_net_worker(global_cfg: Dict[str, Any], args: LaunchArgs) -> Dict[str,
     from ..pipeline.bundle import load_bundle
 
     bundle = load_bundle(schema_cfg["bundle"])
+    uniform_range = tuple(
+        (bundle.extra.get("discretization", {}).get("vocabulary", {}) or {}).get(
+            "uniform_range", (-1.0, 1.0)
+        )
+    )
     predictor = build_predictor(
         model_cfg=bundle.model_cfg,
         schema_cfg=schema_cfg,
@@ -148,6 +153,7 @@ def schema_net_worker(global_cfg: Dict[str, Any], args: LaunchArgs) -> Dict[str,
         num_codes=bundle.codebook.shape[0],
         code_dim=bundle.codebook.shape[1],
         encode_layer=bundle.encode_layer,
+        uniform_range=uniform_range,
     )
     dummy = jnp.zeros((1, bundle.img_size, bundle.img_size, 3), jnp.float32)
     variables = predictor.init(jax.random.PRNGKey(args.seed), dummy, method="init_full")
@@ -270,6 +276,11 @@ def _assemble_schema_predictor(global_cfg, args, n_classes):
 
     schema_cfg = global_cfg["schema_net"]
     bundle = load_bundle(schema_cfg["bundle"])
+    uniform_range = tuple(
+        (bundle.extra.get("discretization", {}).get("vocabulary", {}) or {}).get(
+            "uniform_range", (-1.0, 1.0)
+        )
+    )
     predictor = build_predictor(
         model_cfg=bundle.model_cfg,
         schema_cfg=schema_cfg,
@@ -277,6 +288,7 @@ def _assemble_schema_predictor(global_cfg, args, n_classes):
         num_codes=bundle.codebook.shape[0],
         code_dim=bundle.codebook.shape[1],
         encode_layer=bundle.encode_layer,
+        uniform_range=uniform_range,
     )
     dummy = jnp.zeros((1, bundle.img_size, bundle.img_size, 3), jnp.float32)
     variables = predictor.init(jax.random.PRNGKey(0), dummy, method="init_full")
