@@ -10,7 +10,7 @@ mandatory HDF5 materialisation (``--save-features`` optionally dumps
 from __future__ import annotations
 
 import logging
-from typing import Any, Dict, Iterator, Optional
+from typing import Iterator, Optional
 
 import jax
 import jax.numpy as jnp

@@ -7,7 +7,7 @@ top-k strongest (upper-triangular) adjacency entries above the edge threshold.
 
 from __future__ import annotations
 
-from typing import Optional
+
 
 import numpy as np
 

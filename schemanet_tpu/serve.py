@@ -17,7 +17,7 @@ promises (but never implements) per-code class attributions
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Dict, Optional
+from typing import Any, Dict
 
 import jax
 import jax.numpy as jnp
