@@ -1,0 +1,11 @@
+#!/bin/sh
+# Stage 1: extract the ingredient codebook (reference 1.extract_ingredients.sh).
+# usage: scripts/1.extract_ingredients.sh <dataset> <model> <M> [max_features]
+set -e
+cd "$(dirname "$0")/.."
+DS=${1:-cifar_100}; MODEL=${2:-deit_tiny}; M=${3:-1024}; MAXF=${4:-1000000}
+python -m schemanet_tpu.cli extract \
+    --cfg "configs/${DS}/ingredient/${MODEL}-l9-M_${M}.yaml" \
+    --ckpt "run/${DS}/vanilla/${MODEL}/ckpt/best" \
+    --save-path "run/${DS}/ingredient/${MODEL}-l9-M_${M}" \
+    --max-features "${MAXF}"
