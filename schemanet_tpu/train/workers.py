@@ -218,9 +218,9 @@ def eval_worker(global_cfg: Dict[str, Any], args: LaunchArgs) -> Dict[str, Any]:
     (reference tasks/worker_eval.py; top-1/top-5)."""
     data_cfg, train_cfg, val_cfg = _split_cfg(global_cfg, args)
     loss_cfg = global_cfg.get("loss", {"name": "ce_loss", "weight_dict": {"cls": 1.0}})
-    _, val_loader, n_classes = build_loaders(
-        data_cfg, dict(train_cfg or val_cfg), val_cfg, args.seed
-    )
+    from ..data.loader import build_eval_loader
+
+    val_loader, n_classes = build_eval_loader(data_cfg, val_cfg, args.seed)
     mesh = _make_mesh(args)
 
     if "schema_net" in global_cfg:
