@@ -148,11 +148,7 @@ def load_serve_predictor(
     import os
 
     mgr = CheckpointManager(os.path.dirname(os.path.abspath(ckpt_path)))
-    restored = mgr.restore(
-        os.path.abspath(ckpt_path),
-        {"params": params, "buffers": buffers, "opt_state": None,
-         "step": jnp.zeros((), jnp.int32)},
-    )
+    restored = mgr.restore(os.path.abspath(ckpt_path))  # full saved tree
     return ServePredictor(
         predictor, restored["params"], restored["buffers"], microbatch=microbatch
     )

@@ -221,8 +221,13 @@ class CheckpointManager:
                 shutil.rmtree(best)
             shutil.copytree(path, best)
 
-    def restore(self, tag_or_path: str, template: Any) -> Any:
+    def restore(self, tag_or_path: str, template: Any = None) -> Any:
+        """Restore a checkpoint. With ``template=None`` the full saved tree is
+        returned as stored (no structure needed) — use this when only part of
+        the state (e.g. params without opt_state) is wanted."""
         path = tag_or_path if os.path.isabs(tag_or_path) else self._path(tag_or_path)
+        if template is None:
+            return self._ckptr.restore(path)
         return self._ckptr.restore(path, template)
 
     def exists(self, tag: str) -> bool:

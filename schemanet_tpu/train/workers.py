@@ -255,10 +255,7 @@ def eval_worker(global_cfg: Dict[str, Any], args: LaunchArgs) -> Dict[str, Any]:
     params = model.init(jax.random.PRNGKey(0), dummy)["params"]
     if args.resume:
         ckpt = CheckpointManager(os.path.dirname(os.path.abspath(args.resume)))
-        restored = ckpt.restore(
-            os.path.abspath(args.resume),
-            {"params": params, "buffers": {}, "opt_state": None, "step": jnp.zeros((), jnp.int32)},
-        )
+        restored = ckpt.restore(os.path.abspath(args.resume))
         params = restored["params"]
 
     def apply_fn(p, b, image, train=False):
@@ -298,10 +295,6 @@ def _assemble_schema_predictor(global_cfg, args, n_classes):
     params["ingredient_backbone"] = {"vocabulary": bundle.codebook}
     if args.resume:
         ckpt = CheckpointManager(os.path.dirname(os.path.abspath(args.resume)))
-        restored = ckpt.restore(
-            os.path.abspath(args.resume),
-            {"params": params, "buffers": buffers, "opt_state": None,
-             "step": jnp.zeros((), jnp.int32)},
-        )
+        restored = ckpt.restore(os.path.abspath(args.resume))
         params, buffers = restored["params"], restored["buffers"]
     return predictor, params, buffers

@@ -232,6 +232,32 @@ def test_stage4_schema_train_and_eval(stages):
     assert 0.0 <= eval_result["cb"]["acc_model"] <= 1.0
 
 
+def test_serve_from_trained_checkpoint(stages, workdir):
+    """load_serve_predictor over the artifacts from stages 2-4 (the deployment
+    path: bundle + trained schema ckpt -> microbatched inference)."""
+    from schemanet_tpu.serve import load_serve_predictor
+
+    ckpt_dir = os.path.join(workdir, "schema", "ckpt", "best")
+    if not os.path.isdir(ckpt_dir):
+        pytest.skip("stage 4 checkpoint missing (run test_stage4 first)")
+    schema_cfg = {
+        "matcher": {"similarity": "inner_product"},
+        "gnn": {"embed_dim": 16, "num_layers": 2, "activation": "relu"},
+        "ir_atlas": {"class_max_vertices": 8, "feat_h": 4, "feat_w": 4,
+                     "clamp_vertex_attn": -1.0, "clamp_edge_attn": -1.0,
+                     "prune_node_threshold": 0.001},
+    }
+    server = load_serve_predictor(
+        stages["bundle_path"], schema_cfg, ckpt_dir, num_classes=4, microbatch=4
+    )
+    rng = np.random.default_rng(3)
+    images = rng.normal(size=(6, 16, 16, 3)).astype(np.float32)
+    logits = server.predict(images)
+    assert logits.shape == (6, 4) and np.isfinite(logits).all()
+    res = server.explain(images[:2])
+    assert res["attribution"].shape == (2, 4, 4, 4)
+
+
 def test_resume_roundtrip(stages, workdir):
     """Checkpoint resume restores params exactly (worker.py:92-117 contract)."""
     from schemanet_tpu.train.common import CheckpointManager
