@@ -17,3 +17,34 @@ replaced by:
 """
 
 __version__ = "0.1.0"
+
+
+def __getattr__(name):
+    """Lazy top-level API (keeps `import schemanet_tpu` light)."""
+    import importlib
+
+    top = {
+        "models": ".models",
+        "ops": ".ops",
+        "schema": ".schema",
+        "data": ".data",
+        "parallel": ".parallel",
+        "train": ".train",
+        "pipeline": ".pipeline",
+        "utils": ".utils",
+        "serve": ".serve",
+    }
+    if name in top:
+        return importlib.import_module(top[name], __name__)
+    symbol_homes = {
+        "get_model": ".models",
+        "build_predictor": ".schema",
+        "get_loss_fn": ".schema",
+        "Trainer": ".train",
+        "ServePredictor": ".serve",
+        "load_serve_predictor": ".serve",
+        "make_mesh": ".parallel",
+    }
+    if name in symbol_homes:
+        return getattr(importlib.import_module(symbol_homes[name], __name__), name)
+    raise AttributeError(f"module {__name__!r} has no attribute {name!r}")
