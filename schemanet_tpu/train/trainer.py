@@ -333,13 +333,22 @@ class Trainer:
             self.logger.info("Initial testing")
             self.validate_and_save(show_tb=False)
         from ..data.loader import device_prefetch
+        from ..utils.profiling import StepTimer
 
+        timer = StepTimer(window=max(self.cfg.print_interval, 2))
         for self.epoch in range(self.start_epoch, self.cfg.train_epochs):
             self.train_loader.set_epoch(self.epoch)
             prefetched = device_prefetch(iter(self.train_loader), self.batch_sharding)
             for step, batch in enumerate(prefetched):
                 metrics = self.train_iter(batch)
+                tput = timer.step(self.cfg.batch_size)
                 it = self.iter_count
+                if tput is not None and jax.process_index() == 0:
+                    self.logger.info(
+                        "throughput: %.1f img/s (%.1f steps/s)",
+                        tput["items_per_sec"], tput["steps_per_sec"],
+                    )
+                    self.tb.add_scalar("Train/ImagesPerSec", tput["items_per_sec"], it)
                 if it % self.cfg.print_interval == 0 and jax.process_index() == 0:
                     loss_items = tensor_dict_items(
                         {k: v for k, v in metrics.items() if k != "loss"}
