@@ -1,5 +1,6 @@
 from .attention import MultiHeadSelfAttention, dot_product_attention
 from .layers import MLP, LearnablePosEncoding, PatchEmbed, get_activation
+from .capture import MidExtractor, translate_probe_name
 from .port import load_pretrain_into, merge_pretrained, torch_vit_to_flax
 from .transformer import EncoderLayer, Transformer
 from .vit import MODEL_REGISTRY, DeiT, ViT, build_deit, build_vit, get_model

@@ -130,3 +130,33 @@ def test_build_eval_and_adv_loaders():
     assert sum(float(b["valid"].sum()) for b in batches) == 20  # drop_last=False
     adv, n2 = build_adv_loader(data_cfg, val_cfg)
     assert n2 == 3 and adv.split == "val"
+
+
+def test_mid_extractor(rng):
+    import jax
+    import jax.numpy as jnp
+
+    from schemanet_tpu.models.capture import MidExtractor, translate_probe_name
+    from schemanet_tpu.models.vit import get_model
+
+    assert translate_probe_name("module.transformer.layers.9") == "layers_9.out"
+    assert (
+        translate_probe_name("module.transformer.layers.9.attention.attn_raw_identity")
+        == "layers_9.attn_raw"
+    )
+    assert translate_probe_name("layers_3") == "layers_3.out"
+
+    cfg = {
+        "name": "vit",
+        "transformer": dict(embed_dim=16, num_encoder_layers=2, num_heads=2,
+                            dim_feedforward=32, dropout=None, activation="gelu",
+                            final_norm=True, norm_eps=1e-6),
+        "patch_embed": dict(img_size=16, patch_size=8, image_channels=3),
+        "pos_encoding": dict(name="learnable"),
+    }
+    model = get_model(cfg, 4)
+    x = jnp.asarray(rng.normal(size=(2, 16, 16, 3)).astype(np.float32))
+    params = model.init(jax.random.PRNGKey(0), x)["params"]
+    extractor = MidExtractor(model, params, ["module.transformer.layers.1"])
+    feats = extractor(x)
+    assert feats["module.transformer.layers.1"].shape == (2, 5, 16)
