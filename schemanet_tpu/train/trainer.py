@@ -257,6 +257,11 @@ class Trainer:
         return merge_trees(self.frozen_params, self.state.params)
 
     def validate_and_save(self, show_tb: bool = True):
+        if self.project_params is not None:
+            # the reference's normalize() persistently mutates the atlas before
+            # eval + checkpointing (worker_schema_net.py:181) — mirror that so
+            # saved checkpoints hold projected (clamped/normalised) weights
+            self.state = self.state.replace(params=self.project_params(self.state.params))
         eval_dict = self.validate()
         acc = eval_dict["acc"][1]
         if jax.process_index() == 0:
