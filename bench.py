@@ -27,7 +27,7 @@ def main():
     from schemanet_tpu.schema import build_predictor, get_loss_fn, weighted_total
     from schemanet_tpu.schema.atlas import project_atlas_params
 
-    batch_size = int(os.environ.get("BENCH_BATCH", 128))
+    batch_size = int(os.environ.get("BENCH_BATCH", 256))
     num_classes = 100
     num_codes = 1024
     steps = int(os.environ.get("BENCH_STEPS", 50))
