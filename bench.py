@@ -2,7 +2,7 @@
 """Benchmark: SchemaNet training images/sec/chip at CIFAR-100 scale.
 
 Runs the flagship config (DeiT-Tiny 224px backbone, M=1024 codebook, K=100
-classes, batch 64 — reference config/cifar_100/schema_net/deit_tiny-l9-M_1024)
+classes, batch 256 — reference config/cifar_100/schema_net/deit_tiny-l9-M_1024)
 as one jitted train step on the available accelerator and reports throughput.
 
 Baseline (see bench_baseline.json): the reference's per-iteration CPU C++
