@@ -47,7 +47,8 @@ def build_parser() -> argparse.ArgumentParser:
         "--worker", type=str, default="backbone_worker",
         choices=["backbone_worker", "schema_net_worker", "eval_worker"],
     )
-    p_train.add_argument("--resume", type=str, default="")
+    p_train.add_argument("--resume", type=str, default="",
+                     help="checkpoint tag/path, or 'auto' for the latest")
 
     p_extract = sub.add_parser("extract", help="stage 1: extract ingredient codebook")
     _common_flags(p_extract)

@@ -307,6 +307,13 @@ class Trainer:
 
     def resume(self, tag_or_path: str):
         assert self.ckpt is not None, "resume requires a ckpt_dir"
+        if tag_or_path == "auto":
+            # pick up where the last run left off (meta.json last_tag)
+            meta = load_metadata(self.ckpt.ckpt_dir) or {}
+            tag_or_path = meta.get("last_tag", "")
+            if not tag_or_path or not self.ckpt.exists(tag_or_path):
+                self.logger.info("resume=auto: no previous checkpoint found; fresh start")
+                return
         template = {
             "params": self.full_params,
             "buffers": self.state.buffers,
@@ -332,8 +339,26 @@ class Trainer:
             "Resumed from %s at epoch %d, iter %d", tag_or_path, self.start_epoch, self.iter_count
         )
 
+    def install_signal_handlers(self):
+        """Graceful shutdown: SIGTERM/SIGINT request a checkpoint + clean stop
+        at the next step boundary (the reference kills children and loses
+        un-checkpointed progress, dist_engine.py:87-103)."""
+        import signal
+
+        def handler(signum, frame):
+            self.logger.warning("signal %s received; will checkpoint and stop", signum)
+            self._stop_requested = True
+
+        for sig in (signal.SIGTERM, signal.SIGINT):
+            try:
+                signal.signal(sig, handler)
+            except ValueError:  # not in main thread
+                return
+
     def __call__(self, initial_validation: bool = True):
         start = time.time()
+        self._stop_requested = False
+        self.install_signal_handlers()
         if initial_validation:
             self.logger.info("Initial testing")
             self.validate_and_save(show_tb=False)
@@ -371,6 +396,10 @@ class Trainer:
                         self.tb.add_scalars("Weights", self.extra_scalars(self.state), it)
                 if it > 0 and it % self.cfg.val_interval == 0:
                     self.validate_and_save()
+                if getattr(self, "_stop_requested", False):
+                    self.logger.warning("stopping early on signal; saving checkpoint")
+                    self.validate_and_save()
+                    return None
         self.logger.info("Final validation")
         final = self.validate_and_save()
         if jax.process_index() == 0:

@@ -89,3 +89,36 @@ def test_per_group_lr_scale():
     # group a runs at 10x the base lr
     ratio = float(updates["a"]["w"][0] / updates["b"]["w"][0])
     np.testing.assert_allclose(ratio, 10.0, rtol=1e-5)
+
+
+def test_resume_auto_fresh_start(tmp_path):
+    """resume='auto' with no prior checkpoint is a clean fresh start."""
+    import jax.numpy as jnp
+
+    from schemanet_tpu.data.datasets import build_synthetic
+    from schemanet_tpu.data.loader import DataLoader
+    from schemanet_tpu.train.trainer import Trainer, TrainerConfig
+
+    ds = build_synthetic(num_classes=3, num_samples=16, image_size=8)
+    loader = DataLoader(ds, batch_size=8, split="train", seed=0, resize=8, num_workers=1)
+
+    def apply_fn(p, b, image, rng, train):
+        return {"pred": jnp.einsum("bc,co->bo", image.mean(axis=(1, 2)), p["w"])}
+
+    params = {"w": jnp.zeros((3, 3))}
+    from schemanet_tpu.schema.loss import get_loss_fn
+
+    trainer = Trainer(
+        cfg=TrainerConfig(train_epochs=1, optimizer={"name": "sgd", "lr": 0.1},
+                          lr_schedule={"name": "constant"}, batch_size=8),
+        apply_fn=apply_fn,
+        loss_fn=get_loss_fn({"name": "ce_loss"}),
+        loss_weights={"cls": 1.0},
+        params=params,
+        buffers={},
+        train_loader=loader,
+        val_loader=loader,
+        ckpt_dir=str(tmp_path / "ckpt"),
+        resume="auto",
+    )
+    assert trainer.start_epoch == 0  # fresh start, no crash
