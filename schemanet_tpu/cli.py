@@ -128,10 +128,7 @@ def _load_backbone_for_stage(cfg, args):
     ckpt_path = os.path.abspath(os.path.expanduser(args.ckpt))
     if os.path.isdir(ckpt_path):
         mgr = CheckpointManager(os.path.dirname(ckpt_path))
-        restored = mgr.restore(
-            ckpt_path,
-            {"params": params, "buffers": {}, "opt_state": None, "step": np.zeros((), np.int32)},
-        )
+        restored = mgr.restore(ckpt_path)  # template-free: partial consumption
         params = restored["params"]
     elif ckpt_path.endswith((".pth", ".pt")):
         from .models.port import load_pretrain_into
