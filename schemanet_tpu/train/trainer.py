@@ -27,7 +27,7 @@ import optax
 from ..parallel.mesh import batch_sharding, make_mesh, shard_params
 from ..schema.loss import weighted_total
 from ..utils.logging_utils import TBWriter
-from ..utils.metrics import tensor_dict_items, topk_accuracy
+from ..utils.metrics import tensor_dict_items
 from .common import (
     CheckpointManager,
     TrainState,
@@ -342,17 +342,28 @@ class Trainer:
     def install_signal_handlers(self):
         """Graceful shutdown: SIGTERM/SIGINT request a checkpoint + clean stop
         at the next step boundary (the reference kills children and loses
-        un-checkpointed progress, dist_engine.py:87-103)."""
+        un-checkpointed progress, dist_engine.py:87-103). Previous handlers
+        are restored by :meth:`restore_signal_handlers`."""
         import signal
 
         def handler(signum, frame):
             self.logger.warning("signal %s received; will checkpoint and stop", signum)
             self._stop_requested = True
 
+        self._prev_handlers = {}
         for sig in (signal.SIGTERM, signal.SIGINT):
             try:
-                signal.signal(sig, handler)
+                self._prev_handlers[sig] = signal.signal(sig, handler)
             except ValueError:  # not in main thread
+                return
+
+    def restore_signal_handlers(self):
+        import signal
+
+        for sig, prev in getattr(self, "_prev_handlers", {}).items():
+            try:
+                signal.signal(sig, prev)
+            except ValueError:
                 return
 
     def __call__(self, initial_validation: bool = True):
@@ -399,9 +410,11 @@ class Trainer:
                 if getattr(self, "_stop_requested", False):
                     self.logger.warning("stopping early on signal; saving checkpoint")
                     self.validate_and_save()
+                    self.restore_signal_handlers()
                     return None
         self.logger.info("Final validation")
         final = self.validate_and_save()
+        self.restore_signal_handlers()
         if jax.process_index() == 0:
             self.logger.info(
                 "Training time %.1fs; best acc %.4f @ iter %d",
