@@ -100,6 +100,55 @@ def test_data_parallel_train_step_matches_single_device(rng):
         )
 
 
+def test_schema_train_step_sharded_matches_single(rng):
+    """One FULL SchemaNet train step (projection + grads + adamw) over a
+    (data=4, model=2) mesh equals the single-device step numerically."""
+    import optax
+
+    from schemanet_tpu.schema import get_loss_fn, weighted_total
+    from schemanet_tpu.schema.atlas import project_atlas_params
+    from tests.test_predictor import make_predictor
+
+    predictor = make_predictor()
+    x = rng.normal(size=(8, 32, 32, 3)).astype(np.float32)
+    y = rng.integers(0, 5, size=(8,)).astype(np.int32)
+    variables = predictor.init(jax.random.PRNGKey(0), jnp.asarray(x[:1]))
+    params, buffers = variables["params"], variables["buffers"]
+    loss_fn = get_loss_fn({"name": "schema_inference_loss"})
+    weights = {"cls": 1.0, "re_entropy_vertex": 0.5, "re_entropy_edge": 0.75}
+    atlas_cfg = predictor.cfg.atlas
+    tx = optax.adamw(1e-3)
+
+    def step(p, b, opt, image, label):
+        p = dict(p, schema_net=project_atlas_params(p["schema_net"], atlas_cfg))
+
+        def loss(q):
+            out = predictor.apply({"params": q, "buffers": b}, image)
+            return weighted_total(loss_fn(out, {"label": label}), weights)
+
+        g = jax.grad(loss)(p)
+        updates, opt = tx.update(g, opt, p)
+        return optax.apply_updates(p, updates)
+
+    p1 = jax.jit(step)(params, buffers, tx.init(params), jnp.asarray(x), jnp.asarray(y))
+
+    mesh = make_mesh(data=4, model=2)
+    params_s = shard_params(mesh, params)
+    buffers_s = shard_params(mesh, buffers)
+    bs = batch_sharding(mesh)
+    p8 = jax.jit(step)(
+        params_s, buffers_s, tx.init(params_s),
+        jax.device_put(x, bs), jax.device_put(y, bs),
+    )
+    for (k1, v1), (k8, v8) in zip(
+        jax.tree_util.tree_leaves_with_path(p1), jax.tree_util.tree_leaves_with_path(p8)
+    ):
+        np.testing.assert_allclose(
+            np.asarray(v1), np.asarray(v8), rtol=5e-5, atol=1e-6,
+            err_msg=jax.tree_util.keystr(k1),
+        )
+
+
 def test_model_sharded_predictor_forward(rng):
     """Predictor forward with atlas sharded over the model axis matches
     replicated output."""
