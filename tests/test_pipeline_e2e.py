@@ -273,3 +273,26 @@ def test_resume_roundtrip(stages, workdir):
     }
     restored = mgr.restore("best", template)
     assert int(restored["step"]) > 0
+
+
+def test_h5_feature_dump_and_resume(stages, tmp_path):
+    """--save-features h5 dump + cluster_saved_features resume path
+    (reference extract_ingredients --saved_features_fp)."""
+    h5py = pytest.importorskip("h5py")
+    from schemanet_tpu.pipeline import cluster_saved_features, extract_codebook
+
+    model = stages["backbone_result"]["model"]
+    params = jax.device_get(stages["backbone_result"]["trainer"].state.params)
+    train_set = get_dataset(DATA_CFG, "train")
+    loader = DataLoader(train_set, batch_size=16, split="train", seed=0, resize=16,
+                        num_workers=1)
+    h5_path = str(tmp_path / "saved_features.h5")
+    cb1 = extract_codebook(
+        model, params, loader, ENCODE_LAYER, num_clusters=8,
+        max_features=512, lloyd_iters=2, save_features_path=h5_path,
+    )
+    with h5py.File(h5_path) as f:
+        assert f["features"].shape == (512, 32)
+    cb2 = cluster_saved_features(h5_path, num_clusters=8, lloyd_iters=2)
+    assert cb1.shape == cb2.shape == (8, 32)
+    assert np.isfinite(cb2).all()
