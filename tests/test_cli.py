@@ -84,3 +84,89 @@ def test_cli_train_smoke(tmp_path, worker):
     )
     assert proc.returncode == 0, proc.stderr[-3000:]
     assert (tmp_path / "run" / "ckpt").is_dir()
+
+
+def test_cli_full_stage_chain(tmp_path):
+    """extract -> export -> init through the actual CLI entry points."""
+    ds_cfg = {
+        "name": "synthetic", "root": "", "train": {"split": "train"},
+        "val": {"split": "val"}, "resize": 16, "num_classes": 3,
+        "num_samples": 32, "image_size": 16,
+    }
+    model_block = {
+        "name": "vit",
+        "transformer": {"embed_dim": 16, "num_encoder_layers": 2, "num_heads": 2,
+                        "dim_feedforward": 32, "dropout": None, "activation": "gelu",
+                        "final_norm": True, "norm_eps": 1e-6},
+        "patch_embed": {"img_size": 16, "patch_size": 8, "image_channels": 3},
+        "pos_encoding": {"name": "learnable"},
+    }
+    # train a backbone ckpt first (in-process worker; CLI train is covered above)
+    from schemanet_tpu.train.workers import LaunchArgs, WORKER_REGISTRY
+
+    train_cfg = {
+        "dataset": ds_cfg,
+        "training": {"optimizer": {"name": "AdamW", "lr": 1e-3},
+                     "lr_schedule": {"name": "constant"}, "train_epochs": 1,
+                     "print_interval": 100, "val_interval": 1000,
+                     "batch_size": 8, "num_workers": 1},
+        "validation": {"batch_size": 8, "num_workers": 1},
+        "model": model_block,
+        "loss": {"name": "ce_loss", "weight_dict": {"cls": 1.0}},
+    }
+    WORKER_REGISTRY.get("backbone_worker")(
+        train_cfg, LaunchArgs(seed=0, log_dir=str(tmp_path / "vanilla"))
+    )
+    ckpt = str(tmp_path / "vanilla" / "ckpt" / "best")
+
+    ing_cfg = {
+        "dataset": ds_cfg,
+        "discretization": {
+            "vocabulary": {"size": 8, "dim": 16, "detach_input_seq": True,
+                           "uniform_range": [0, 1]},
+            "encoder_layer": "module.transformer.layers.1",
+        },
+        "model": {"model": model_block},
+    }
+    ing_path = tmp_path / "ing.yaml"
+    # model key normally references a file; write one
+    model_file = tmp_path / "model.yaml"
+    model_file.write_text(yaml.safe_dump({"model": model_block}))
+    ing_cfg["model"] = str(model_file)
+    ing_path.write_text(yaml.safe_dump(ing_cfg))
+
+    from schemanet_tpu.cli import main
+
+    save_path = str(tmp_path / "ingredient")
+    assert main(["extract", "--cfg", str(ing_path), "--ckpt", ckpt,
+                 "--save-path", save_path, "--max-features", "512",
+                 "--batch-size", "8", "--log-dir", str(tmp_path / "logs")]) == 0
+    vocab = os.path.join(save_path, "cluster_8_from_512.npy")
+    assert os.path.isfile(vocab)
+
+    bundle = str(tmp_path / "bundle")
+    assert main(["export", "--cfg", str(ing_path), "--ckpt", ckpt,
+                 "--vocabulary-fp", vocab, "--save-path", bundle,
+                 "--num-classes", "3", "--log-dir", str(tmp_path / "logs")]) == 0
+    assert os.path.isfile(os.path.join(bundle, "manifest.json"))
+
+    schema_cfg = {
+        "dataset": ds_cfg,
+        "schema_net": {
+            "bundle": bundle,
+            "matcher": {"similarity": "inner_product"},
+            "gnn": {"embed_dim": 8, "num_layers": 2, "activation": "relu"},
+            "ir_atlas": {"class_max_vertices": 4, "feat_h": 2, "feat_w": 2,
+                         "clamp_vertex_attn": -1.0, "clamp_edge_attn": -1.0,
+                         "prune_node_threshold": 0.001},
+        },
+    }
+    schema_path = tmp_path / "schema.yaml"
+    schema_path.write_text(yaml.safe_dump(schema_cfg))
+    init_fp = str(tmp_path / "init.msgpack")
+    assert main(["init", "--cfg", str(schema_path), "--save-fp", init_fp,
+                 "--batch-size", "8", "--log-dir", str(tmp_path / "logs")]) == 0
+    from schemanet_tpu.pipeline.bundle import load_atlas_init
+
+    atlas = load_atlas_init(init_fp)
+    assert atlas["params"]["vertex_weights"].shape == (3, 4)
