@@ -122,3 +122,45 @@ def test_resume_auto_fresh_start(tmp_path):
         resume="auto",
     )
     assert trainer.start_epoch == 0  # fresh start, no crash
+
+
+def test_training_determinism(tmp_path):
+    """Two runs with the same seed produce bit-identical trained params
+    (the reference's make_deterministic story, worker.py:320-323)."""
+    import jax
+
+    from schemanet_tpu.train.workers import LaunchArgs, WORKER_REGISTRY
+
+    cfg = {
+        "dataset": {"name": "synthetic", "root": "", "train": {"split": "train"},
+                    "val": {"split": "val"}, "resize": 16, "num_classes": 3,
+                    "num_samples": 32, "image_size": 16},
+        "training": {"optimizer": {"name": "AdamW", "lr": 1e-3},
+                     "lr_schedule": {"name": "constant"}, "train_epochs": 1,
+                     "print_interval": 100, "val_interval": 1000,
+                     "batch_size": 8, "num_workers": 1},
+        "validation": {"batch_size": 8, "num_workers": 1},
+        "model": {
+            "name": "vit",
+            "transformer": {"embed_dim": 16, "num_encoder_layers": 2, "num_heads": 2,
+                            "dim_feedforward": 32, "dropout": 0.1, "activation": "gelu",
+                            "final_norm": True, "norm_eps": 1e-6},
+            "patch_embed": {"img_size": 16, "patch_size": 8, "image_channels": 3},
+            "pos_encoding": {"name": "learnable"},
+        },
+        "loss": {"name": "ce_loss", "weight_dict": {"cls": 1.0}},
+    }
+
+    def run(tag):
+        res = WORKER_REGISTRY.get("backbone_worker")(
+            cfg, LaunchArgs(seed=7, log_dir=str(tmp_path / tag))
+        )
+        return jax.device_get(res["trainer"].state.params)
+
+    p1, p2 = run("a"), run("b")
+    for (k1, v1), (k2, v2) in zip(
+        jax.tree_util.tree_leaves_with_path(p1), jax.tree_util.tree_leaves_with_path(p2)
+    ):
+        np.testing.assert_array_equal(
+            np.asarray(v1), np.asarray(v2), err_msg=jax.tree_util.keystr(k1)
+        )
