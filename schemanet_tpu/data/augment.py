@@ -225,6 +225,13 @@ def _params_identity(shape, rng):
     return 0, 0, h, w, False
 
 
+# crop size is a pure function of the source shape for these (batchable with
+# one C++ call); RandomResizedCrop samples a different crop box per image
+_params_cifar_train.fixed_crop = True
+_params_imagenet_val.fixed_crop = True
+_params_identity.fixed_crop = True
+_params_rrc_train.fixed_crop = False
+
 NATIVE_AUG_REGISTRY: Dict[str, Callable] = {
     "cifar_10_train": _params_cifar_train,
     "cifar_100_train": _params_cifar_train,

@@ -104,16 +104,61 @@ class DataLoader:
             return out, label, True
         return self.transform(img, rng), label, False
 
+    def _batch_fast_path(self, local_idx, n_valid: int, base_seed: int, start: int, lo: int):
+        """One fused C++ call for in-memory fixed-size datasets: gather the raw
+        uint8 batch, sample per-image crop params, process the whole batch in
+        native code (saves the per-sample Python/thread round trips — the host
+        here has one core, so crossings matter)."""
+        images = self.dataset.images[local_idx]
+        n, h, w, _ = images.shape
+        tops = np.empty(n, np.int32)
+        lefts = np.empty(n, np.int32)
+        flips = np.empty(n, np.int32)
+        crop_h = crop_w = None
+        for j in range(n):
+            rng = np.random.default_rng(base_seed + start + lo + j)
+            t, l, ch, cw, f = self._native_params((h, w), rng)
+            tops[j], lefts[j], flips[j] = t, l, int(f)
+            crop_h, crop_w = ch, cw
+        out = native.process_batch(
+            images, tops, lefts, crop_h, crop_w, flips, self._out_size,
+            self.mean, self.std,
+        )
+        labels = self.dataset.labels[local_idx].astype(np.int32)
+        return out, labels
+
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
         order = self._indices()
         n_batches = len(self)
         base_seed = (self.seed * 1_000_003 + self.epoch) & 0x7FFFFFFF
+        # the batched native route applies when every image has the same shape
+        # and the aug has a crop-param form (ArrayDataset-style datasets)
+        batch_native = (
+            self._native_params is not None
+            and getattr(self._native_params, "fixed_crop", False)
+            and hasattr(self.dataset, "images")
+            and hasattr(self.dataset, "labels")
+        )
         for b in range(n_batches):
             start = b * self.global_batch_size
             global_idx = order[start : start + self.global_batch_size]
             # per-process contiguous shard of the global batch
             lo = self._pindex * self.local_batch_size
             local_idx = global_idx[lo : lo + self.local_batch_size]
+            if batch_native:
+                n_valid = len(local_idx)
+                if n_valid < self.local_batch_size:
+                    pad = np.resize(
+                        local_idx if n_valid else order[:1],
+                        self.local_batch_size - n_valid,
+                    )
+                    local_idx = np.concatenate([local_idx, pad])
+                images, labels = self._batch_fast_path(
+                    local_idx, n_valid, base_seed, start, lo
+                )
+                valid = (np.arange(self.local_batch_size) < n_valid).astype(np.float32)
+                yield {"image": images, "label": labels, "valid": valid}
+                continue
             n_valid = len(local_idx)
             if n_valid < self.local_batch_size:
                 # pad the final partial batch to a static shape; 'valid' masks
