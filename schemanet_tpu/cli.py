@@ -151,8 +151,6 @@ def cmd_train(args):
 
 
 def cmd_extract(args):
-    import torch
-
     from .data.datasets import get_dataset
     from .data.loader import DataLoader
     from .pipeline.extract_ingredients import cluster_saved_features, extract_codebook
@@ -184,8 +182,12 @@ def cmd_extract(args):
         n_feats = args.max_features
     save_fp = os.path.join(args.save_path, f"cluster_{num_clusters}_from_{n_feats}.npy")
     np.save(save_fp, centers)
-    # also save torch-compatible .pth like the reference artifact
-    torch.save(torch.from_numpy(centers), save_fp.replace(".npy", ".pth"))
+    try:  # also save a torch-compatible .pth like the reference artifact
+        import torch
+
+        torch.save(torch.from_numpy(centers), save_fp.replace(".npy", ".pth"))
+    except ImportError:
+        pass
     print(f"saved codebook to {save_fp}")
     return 0
 

@@ -154,11 +154,29 @@ def build_cifar100(root: str, split: str = "train", **kwargs) -> ArrayDataset:
 # ---------------------------------------------------------------------------
 
 
+def load_class_list(path: str) -> List[str]:
+    """Class names from a txt (one per line) or csv (first column) file —
+    the reference ships such lists in config/datasets/*.csv|txt."""
+    classes: List[str] = []
+    with open(os.path.expanduser(path)) as f:
+        for line in f:
+            line = line.strip()
+            if line:
+                classes.append(line.split(",")[0].strip())
+    return classes
+
+
 @DATASET_REGISTRY.register("imagenet")
 def build_imagenet(
-    root: str, split: str = "train", classes: Optional[Sequence[str]] = None, **kwargs
+    root: str,
+    split: str = "train",
+    classes: Optional[Sequence[str]] = None,
+    classes_file: Optional[str] = None,
+    **kwargs,
 ) -> ImageFolderDataset:
     sub = "train" if split == "train" else "val"
+    if classes is None and classes_file:
+        classes = load_class_list(classes_file)
     return ImageFolderDataset(os.path.join(root, sub), classes=classes, name="imagenet")
 
 

@@ -113,3 +113,21 @@ def test_get_dataset_passes_kwargs():
            "num_samples": 11, "image_size": 8, "make_partial": 0.5}
     ds = get_dataset(cfg, "train")
     assert ds.num_classes == 5 and len(ds) == 5  # partial applied
+
+
+def test_class_list_file(tmp_path, rng):
+    from PIL import Image
+
+    from schemanet_tpu.data.datasets import build_imagenet, load_class_list
+
+    for cls in ("n001", "n002", "n003"):
+        d = tmp_path / "train" / cls
+        d.mkdir(parents=True)
+        Image.fromarray(rng.integers(0, 256, size=(8, 8, 3), dtype=np.uint8)).save(d / "0.png")
+    lst = tmp_path / "classes.csv"
+    lst.write_text("n003, third bird\nn001, first bird\n")
+    assert load_class_list(str(lst)) == ["n003", "n001"]
+    ds = build_imagenet(str(tmp_path), "train", classes_file=str(lst))
+    assert ds.classes == ["n003", "n001"]
+    assert len(ds) == 2  # n002 excluded
+    assert ds[0][1] == 0  # label order follows the list
