@@ -141,6 +141,97 @@ void ip_process_batch(const uint8_t* src, int n, int h, int w, int c,
     }
 }
 
-int ip_version() { return 1; }
+int ip_version() { return 2; }
+
+}  // extern "C"
+
+// ---------------------------------------------------------------------------
+// JPEG decode (libjpeg): the ImageNet-style folder datasets are decode-bound
+// on a 1-core host; decoding in C (optionally fused with the crop/resize/
+// normalize pass above) removes the PIL round trip.
+// ---------------------------------------------------------------------------
+
+#include <csetjmp>
+#include <cstdio>
+
+#include <jpeglib.h>
+
+namespace {
+
+struct JpegErrorMgr {
+    jpeg_error_mgr pub;
+    std::jmp_buf jump;
+};
+
+static void jpeg_error_exit(j_common_ptr cinfo) {
+    JpegErrorMgr* err = reinterpret_cast<JpegErrorMgr*>(cinfo->err);
+    std::longjmp(err->jump, 1);
+}
+
+}  // namespace
+
+extern "C" {
+
+// Read JPEG header only; returns 0 on success and fills (w, h, c=3).
+int ip_jpeg_dims(const uint8_t* buf, int len, int* w, int* h, int* c) {
+    jpeg_decompress_struct cinfo;
+    JpegErrorMgr jerr;
+    cinfo.err = jpeg_std_error(&jerr.pub);
+    jerr.pub.error_exit = jpeg_error_exit;
+    if (setjmp(jerr.jump)) {
+        jpeg_destroy_decompress(&cinfo);
+        return -1;
+    }
+    jpeg_create_decompress(&cinfo);
+    jpeg_mem_src(&cinfo, const_cast<uint8_t*>(buf), (unsigned long)len);
+    jpeg_read_header(&cinfo, TRUE);
+    *w = (int)cinfo.image_width;
+    *h = (int)cinfo.image_height;
+    *c = 3;  // decoded as RGB below regardless of source colorspace
+    jpeg_destroy_decompress(&cinfo);
+    return 0;
+}
+
+// Decode to RGB uint8 HWC into caller-allocated `out` (h*w*3 bytes).
+// Returns 0 on success.
+int ip_decode_jpeg(const uint8_t* buf, int len, uint8_t* out) {
+    jpeg_decompress_struct cinfo;
+    JpegErrorMgr jerr;
+    cinfo.err = jpeg_std_error(&jerr.pub);
+    jerr.pub.error_exit = jpeg_error_exit;
+    if (setjmp(jerr.jump)) {
+        jpeg_destroy_decompress(&cinfo);
+        return -1;
+    }
+    jpeg_create_decompress(&cinfo);
+    jpeg_mem_src(&cinfo, const_cast<uint8_t*>(buf), (unsigned long)len);
+    jpeg_read_header(&cinfo, TRUE);
+    cinfo.out_color_space = JCS_RGB;
+    jpeg_start_decompress(&cinfo);
+    const int w = cinfo.output_width;
+    while (cinfo.output_scanline < cinfo.output_height) {
+        uint8_t* row = out + (size_t)cinfo.output_scanline * w * 3;
+        jpeg_read_scanlines(&cinfo, &row, 1);
+    }
+    jpeg_finish_decompress(&cinfo);
+    jpeg_destroy_decompress(&cinfo);
+    return 0;
+}
+
+// Fused decode -> crop/flip/resize/normalize (one call per sample; the decoded
+// pixels never cross back into Python).
+int ip_decode_process(const uint8_t* buf, int len,
+                      int top, int left, int crop_h, int crop_w, int flip,
+                      float* dst, int oh, int ow,
+                      const float* mean, const float* stddev) {
+    thread_local std::vector<uint8_t> pixels;
+    int w = 0, h = 0, c = 0;
+    if (ip_jpeg_dims(buf, len, &w, &h, &c) != 0) return -1;
+    pixels.resize((size_t)w * h * 3);
+    if (ip_decode_jpeg(buf, len, pixels.data()) != 0) return -1;
+    ip_process_sample(pixels.data(), h, w, 3, top, left, crop_h, crop_w, flip,
+                      dst, oh, ow, mean, stddev);
+    return 0;
+}
 
 }  // extern "C"

@@ -85,6 +85,15 @@ class ImageFolderDataset:
         with Image.open(path) as im:
             return np.asarray(im.convert("RGB")), label
 
+    def get_raw(self, idx: int) -> Tuple[Optional[bytes], int]:
+        """Raw JPEG bytes for the native fused decode path (None for non-JPEG
+        files — the loader falls back to the PIL route)."""
+        path, label = self.samples[idx]
+        if path.lower().endswith((".jpg", ".jpeg")):
+            with open(path, "rb") as f:
+                return f.read(), label
+        return None, label
+
 
 class SubsetDataset:
     def __init__(self, base, indices: Sequence[int]):

@@ -70,6 +70,11 @@ class DataLoader:
             else None
         )
         self._out_size = (resize, resize) if resize else None
+        self._jpeg_fused = (
+            self._native_params is not None
+            and hasattr(dataset, "get_raw")
+            and native.jpeg_available()
+        )
         self._pcount = process_count if process_count is not None else jax.process_count()
         self._pindex = process_index if process_index is not None else jax.process_index()
         assert batch_size % self._pcount == 0, "global batch must divide process count"
@@ -93,8 +98,20 @@ class DataLoader:
         return np.arange(n)
 
     def _load_one(self, idx: int, rng_seed: int):
-        img, label = self.dataset[int(idx)]
         rng = np.random.default_rng(rng_seed)
+        if self._native_params is not None and self._jpeg_fused:
+            # fused JPEG decode + aug: the decoded pixels never enter Python
+            raw, label = self.dataset.get_raw(int(idx))
+            if raw is not None:
+                dims = native.jpeg_dims(raw)
+                if dims is not None:
+                    top, left, ch, cw, flip = self._native_params(dims, rng)
+                    out = native.decode_process(
+                        raw, top, left, ch, cw, flip, self._out_size, self.mean, self.std
+                    )
+                    if out is not None:
+                        return out, label, True
+        img, label = self.dataset[int(idx)]
         img = np.asarray(img)
         if self._native_params is not None:
             top, left, ch, cw, flip = self._native_params(img.shape, rng)

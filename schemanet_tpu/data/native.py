@@ -61,9 +61,82 @@ def load_library(build_if_missing: bool = True) -> Optional[ctypes.CDLL]:
         f32p, ctypes.c_int, ctypes.c_int, f32p, f32p,
     ]
     lib.ip_version.restype = ctypes.c_int
+    if hasattr(lib, "ip_decode_jpeg"):
+        lib.ip_jpeg_dims.argtypes = [
+            u8p, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
+            ctypes.POINTER(ctypes.c_int),
+        ]
+        lib.ip_jpeg_dims.restype = ctypes.c_int
+        lib.ip_decode_jpeg.argtypes = [u8p, ctypes.c_int, u8p]
+        lib.ip_decode_jpeg.restype = ctypes.c_int
+        lib.ip_decode_process.argtypes = [
+            u8p, ctypes.c_int,
+            ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            f32p, ctypes.c_int, ctypes.c_int, f32p, f32p,
+        ]
+        lib.ip_decode_process.restype = ctypes.c_int
     _LIB = lib
     logger.info("native imagepipe v%d loaded", lib.ip_version())
     return _LIB
+
+
+def jpeg_available() -> bool:
+    lib = load_library()
+    return lib is not None and hasattr(lib, "ip_decode_jpeg")
+
+
+def jpeg_dims(data: bytes):
+    """(h, w) of a JPEG byte buffer, or None when undecodable."""
+    lib = load_library()
+    buf = np.frombuffer(data, np.uint8)
+    w = ctypes.c_int()
+    h = ctypes.c_int()
+    c = ctypes.c_int()
+    if lib.ip_jpeg_dims(buf, len(buf), ctypes.byref(w), ctypes.byref(h), ctypes.byref(c)) != 0:
+        return None
+    return h.value, w.value
+
+
+def decode_jpeg(data: bytes) -> Optional[np.ndarray]:
+    """JPEG bytes -> uint8 HWC RGB, or None on failure (caller falls back)."""
+    lib = load_library()
+    if lib is None or not hasattr(lib, "ip_decode_jpeg"):
+        return None
+    dims = jpeg_dims(data)
+    if dims is None:
+        return None
+    h, w = dims
+    out = np.empty((h, w, 3), np.uint8)
+    buf = np.frombuffer(data, np.uint8)
+    if lib.ip_decode_jpeg(buf, len(buf), out.reshape(-1)) != 0:
+        return None
+    return out
+
+
+def decode_process(
+    data: bytes,
+    top: int,
+    left: int,
+    crop_h: int,
+    crop_w: int,
+    flip: bool,
+    out_size: Sequence[int],
+    mean: Sequence[float],
+    std: Sequence[float],
+) -> Optional[np.ndarray]:
+    """Fused JPEG decode + crop/flip/resize/normalize; None on failure."""
+    lib = load_library()
+    if lib is None or not hasattr(lib, "ip_decode_process"):
+        return None
+    oh, ow = out_size
+    dst = np.empty((oh, ow, 3), np.float32)
+    buf = np.frombuffer(data, np.uint8)
+    rc = lib.ip_decode_process(
+        buf, len(buf), int(top), int(left), int(crop_h), int(crop_w), int(bool(flip)),
+        dst, oh, ow, np.asarray(mean, np.float32), np.asarray(std, np.float32),
+    )
+    return dst if rc == 0 else None
 
 
 def available() -> bool:

@@ -144,3 +144,62 @@ def test_batched_fast_path_throughput(rng):
 
     f, s = tput(fast), tput(slow)
     assert f > s * 0.9, (f, s)  # batched route is at least as fast
+
+
+def test_jpeg_decode_matches_pil(tmp_path, rng):
+    if not native.jpeg_available():
+        pytest.skip("libjpeg not linked")
+    from PIL import Image
+
+    img = rng.integers(0, 256, size=(40, 56, 3), dtype=np.uint8)
+    p = tmp_path / "x.jpg"
+    Image.fromarray(img).save(p, quality=95)
+    data = p.read_bytes()
+    assert native.jpeg_dims(data) == (40, 56)
+    got = native.decode_jpeg(data)
+    with Image.open(p) as im:
+        want = np.asarray(im.convert("RGB"))
+    assert got.shape == want.shape
+    # decoders may differ by small IDCT rounding
+    assert np.abs(got.astype(int) - want.astype(int)).mean() < 2.0
+
+
+def test_fused_decode_process_matches_two_step(tmp_path, rng):
+    if not native.jpeg_available():
+        pytest.skip("libjpeg not linked")
+    from PIL import Image
+
+    img = rng.integers(0, 256, size=(48, 64, 3), dtype=np.uint8)
+    p = tmp_path / "x.jpg"
+    Image.fromarray(img).save(p, quality=95)
+    data = p.read_bytes()
+    fused = native.decode_process(data, 4, 6, 32, 40, True, (32, 32),
+                                  DEFAULT_MEAN, DEFAULT_STD)
+    decoded = native.decode_jpeg(data)
+    two_step = native.process_sample(decoded, 4, 6, 32, 40, True, (32, 32),
+                                     DEFAULT_MEAN, DEFAULT_STD)
+    np.testing.assert_allclose(fused, two_step, atol=1e-5)
+
+
+def test_loader_jpeg_fused_path(tmp_path, rng):
+    if not native.jpeg_available():
+        pytest.skip("libjpeg not linked")
+    from PIL import Image
+
+    from schemanet_tpu.data.datasets import ImageFolderDataset
+    from schemanet_tpu.data.loader import DataLoader
+
+    for cls in ("a", "b"):
+        d = tmp_path / cls
+        d.mkdir(parents=True)
+        for i in range(4):
+            Image.fromarray(
+                rng.integers(0, 256, size=(30 + i, 40, 3), dtype=np.uint8)
+            ).save(d / f"{i}.jpg", quality=95)
+    ds = ImageFolderDataset(str(tmp_path), name="imagenet")
+    loader = DataLoader(ds, batch_size=4, split="val", shuffle=False, drop_last=False,
+                        resize=32, num_workers=1)
+    assert loader._jpeg_fused
+    batch = next(iter(loader))
+    assert batch["image"].shape == (4, 32, 32, 3)
+    assert np.isfinite(batch["image"]).all()
