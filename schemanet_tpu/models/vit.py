@@ -195,6 +195,25 @@ def build_deit(model_cfg: Dict[str, Any], num_classes: int, dtype=jnp.float32) -
     return DeiT(num_classes=num_classes, dtype=dtype, **_transformer_kwargs(model_cfg))
 
 
+def _register_resnets():
+    """'official_models' registry entry (reference models/__init__.py:18-22
+    dispatches to cv_lib's torchvision zoo): flax ResNets, addressable either
+    directly (name: resnet18) or via name: official_models + model_name."""
+    from .resnet import RESNET_SPECS, build_resnet
+
+    MODEL_REGISTRY.register("official_models", build_resnet)
+    for _name in RESNET_SPECS:
+        MODEL_REGISTRY.register(
+            _name,
+            lambda cfg, n, dtype=jnp.float32, _n=_name: build_resnet(
+                dict(cfg, model_name=_n), n, dtype=dtype
+            ),
+        )
+
+
+_register_resnets()
+
+
 def get_model(model_cfg: Dict[str, Any], num_classes: int, dtype=jnp.float32):
     """Name-dispatch model builder (models/__init__.py:43-47)."""
     return MODEL_REGISTRY.get(model_cfg["name"])(model_cfg, num_classes, dtype=dtype)

@@ -168,16 +168,25 @@ class Trainer:
         def compute_loss(p):
             full = merge_trees(self.frozen_params, p)
             out = self.apply_fn(full, state.buffers, batch["image"], step_rng, True)
+            # models with running statistics (BatchNorm) return their updated
+            # buffer collection under '__buffers__'
+            new_buffers = out.pop("__buffers__", None) if isinstance(out, dict) else None
             loss_dict = self.loss_fn(out, {"label": batch["label"]})
-            return weighted_total(loss_dict, self.loss_weights), loss_dict
+            return weighted_total(loss_dict, self.loss_weights), (loss_dict, new_buffers)
 
         if self.cfg.remat:
             compute_loss = jax.checkpoint(compute_loss)
-        (total, loss_dict), grads = jax.value_and_grad(compute_loss, has_aux=True)(params)
+        (total, (loss_dict, new_buffers)), grads = jax.value_and_grad(
+            compute_loss, has_aux=True
+        )(params)
         updates, opt_state = self.tx.update(grads, state.opt_state, params)
         params = optax.apply_updates(params, updates)
         new_state = state.replace(
-            step=state.step + 1, params=params, opt_state=opt_state, rng=rng
+            step=state.step + 1,
+            params=params,
+            buffers=new_buffers if new_buffers is not None else state.buffers,
+            opt_state=opt_state,
+            rng=rng,
         )
         metrics = {"loss": total, **loss_dict}
         return new_state, metrics

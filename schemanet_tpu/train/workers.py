@@ -85,6 +85,7 @@ def backbone_worker(global_cfg: Dict[str, Any], args: LaunchArgs) -> Dict[str, A
     )
     variables = model.init(jax.random.PRNGKey(args.seed), dummy)
     params = variables["params"]
+    buffers = variables.get("batch_stats", {})  # BN models (resnets)
 
     pretrain = model_cfg.get("pre_train")
     if pretrain and os.path.isfile(os.path.expanduser(pretrain)):
@@ -98,9 +99,18 @@ def backbone_worker(global_cfg: Dict[str, Any], args: LaunchArgs) -> Dict[str, A
     elif pretrain:
         logger.warning("pretrain file %s not found; training from scratch", pretrain)
 
-    def apply_fn(p, buffers, image, rng, train):
+    def apply_fn(p, b, image, rng, train):
         rngs = {"dropout": rng} if train else None
-        return model.apply({"params": p}, image, deterministic=not train, rngs=rngs)
+        variables = {"params": p}
+        if b:
+            variables["batch_stats"] = b
+        if train and b:
+            out, mutated = model.apply(
+                variables, image, deterministic=False, rngs=rngs, mutable=["batch_stats"]
+            )
+            out["__buffers__"] = mutated["batch_stats"]
+            return out
+        return model.apply(variables, image, deterministic=not train, rngs=rngs)
 
     loss_fn = get_loss_fn(loss_cfg)
     trainer = Trainer(
@@ -109,7 +119,7 @@ def backbone_worker(global_cfg: Dict[str, Any], args: LaunchArgs) -> Dict[str, A
         loss_fn=loss_fn,
         loss_weights=loss_cfg["weight_dict"],
         params=params,
-        buffers={},
+        buffers=buffers,
         train_loader=train_loader,
         val_loader=val_loader,
         mesh=_make_mesh(args),
