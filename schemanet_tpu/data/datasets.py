@@ -158,6 +158,39 @@ def build_cifar100(root: str, split: str = "train", **kwargs) -> ArrayDataset:
     return ArrayDataset(images, labels, classes, "cifar_100")
 
 
+@DATASET_REGISTRY.register("mnist")
+def build_mnist(root: str, split: str = "train", **kwargs) -> ArrayDataset:
+    """MNIST from the standard IDX files (gz or raw); images replicated to 3
+    channels to fit the RGB pipeline (the reference registers mnist augs at
+    data/aug.py:33-34; its loader lives in cv_lib)."""
+    import gzip
+
+    base = os.path.expanduser(root)
+    prefix = "train" if split == "train" else "t10k"
+
+    def read(name):
+        for candidate, opener in (
+            (os.path.join(base, name), open),
+            (os.path.join(base, name + ".gz"), gzip.open),
+            (os.path.join(base, "MNIST", "raw", name), open),
+            (os.path.join(base, "MNIST", "raw", name + ".gz"), gzip.open),
+        ):
+            if os.path.isfile(candidate):
+                with opener(candidate, "rb") as f:
+                    return f.read()
+        raise FileNotFoundError(f"{name} under {base}")
+
+    img_raw = read(f"{prefix}-images-idx3-ubyte")
+    lab_raw = read(f"{prefix}-labels-idx1-ubyte")
+    n = int.from_bytes(img_raw[4:8], "big")
+    h = int.from_bytes(img_raw[8:12], "big")
+    w = int.from_bytes(img_raw[12:16], "big")
+    images = np.frombuffer(img_raw, np.uint8, offset=16).reshape(n, h, w, 1)
+    images = np.repeat(images, 3, axis=-1)
+    labels = np.frombuffer(lab_raw, np.uint8, offset=8).astype(np.int64)
+    return ArrayDataset(images, labels, [str(i) for i in range(10)], "mnist")
+
+
 # ---------------------------------------------------------------------------
 # ImageNet-style folders
 # ---------------------------------------------------------------------------

@@ -131,3 +131,25 @@ def test_class_list_file(tmp_path, rng):
     assert ds.classes == ["n003", "n001"]
     assert len(ds) == 2  # n002 excluded
     assert ds[0][1] == 0  # label order follows the list
+
+
+def test_mnist_idx_parsing(tmp_path, rng):
+    from schemanet_tpu.data.datasets import build_mnist
+
+    def write_idx(prefix, n):
+        images = rng.integers(0, 256, size=(n, 28, 28), dtype=np.uint8)
+        labels = rng.integers(0, 10, size=(n,)).astype(np.uint8)
+        img = (2051).to_bytes(4, "big") + n.to_bytes(4, "big") + (28).to_bytes(4, "big") \
+            + (28).to_bytes(4, "big") + images.tobytes()
+        lab = (2049).to_bytes(4, "big") + n.to_bytes(4, "big") + labels.tobytes()
+        (tmp_path / f"{prefix}-images-idx3-ubyte").write_bytes(img)
+        (tmp_path / f"{prefix}-labels-idx1-ubyte").write_bytes(lab)
+        return labels
+
+    train_labels = write_idx("train", 12)
+    write_idx("t10k", 5)
+    ds = build_mnist(str(tmp_path), "train")
+    assert len(ds) == 12 and ds.num_classes == 10
+    img, label = ds[0]
+    assert img.shape == (28, 28, 3) and label == int(train_labels[0])
+    assert len(build_mnist(str(tmp_path), "val")) == 5
