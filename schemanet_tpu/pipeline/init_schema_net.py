@@ -5,6 +5,12 @@ Pass 1 averages full-vocabulary vertex weights per class and topk-selects each
 class's vertex set; pass 2 averages class-limited edges. Both are scatter-adds
 by label on device; the reference's per-sample python loop over the batch
 (init_schema_net.py:31-35,60-62) becomes one segment-sum.
+
+Intentional cleanup vs the reference: its pass 2 accumulates onto the atlas's
+random trunc-normal initialisation rather than zeros (init_schema_net.py:33
++= into the freshly-initialised edge_weights), leaving a residual
+init/n_tracked term (~0.2% of the mean edge weight at CIFAR-100 class counts)
+in the final atlas. We accumulate from zeros — the intended average.
 """
 
 from __future__ import annotations
