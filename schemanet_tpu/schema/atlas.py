@@ -53,6 +53,16 @@ class AtlasConfig:
     # CPU-reference parity) or 'default' (bf16 MXU pass, ~4x faster training)
     graph_precision: str = "highest"
 
+    def __post_init__(self):
+        # reference runtime assertions (schema_net.py:72, utils.py:78)
+        if self.class_max_vertices is not None:
+            assert self.class_max_vertices <= self.num_vertices, (
+                f"class_max_vertices {self.class_max_vertices} exceeds "
+                f"vocabulary size {self.num_vertices}"
+            )
+        assert self.dist_alpha >= 0, "dist_alpha must be non-negative"
+        assert self.graph_precision in ("highest", "default")
+
     @property
     def v_max(self) -> int:
         return self.class_max_vertices or self.num_vertices
