@@ -230,6 +230,7 @@ def _params_identity(shape, rng):
 _params_cifar_train.fixed_crop = True
 _params_imagenet_val.fixed_crop = True
 _params_identity.fixed_crop = True
+_params_identity.identity = True  # no crop/flip: whole-batch normalize suffices
 _params_rrc_train.fixed_crop = False
 
 NATIVE_AUG_REGISTRY: Dict[str, Callable] = {

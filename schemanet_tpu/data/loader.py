@@ -128,6 +128,14 @@ class DataLoader:
         here has one core, so crossings matter)."""
         images = self.dataset.images[local_idx]
         n, h, w, _ = images.shape
+        if (
+            getattr(self._native_params, "identity", False)
+            and (h, w) == self._out_size
+        ):
+            # identity aug at target size: one vectorised normalize, no
+            # filtering (the dominant case for pre-sized val/synthetic data)
+            labels = self.dataset.labels[local_idx].astype(np.int32)
+            return normalize_batch(images, self.mean, self.std), labels
         tops = np.empty(n, np.int32)
         lefts = np.empty(n, np.int32)
         flips = np.empty(n, np.int32)
