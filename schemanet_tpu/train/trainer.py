@@ -100,6 +100,14 @@ class Trainer:
 
         self.mesh = mesh if mesh is not None else make_mesh()
         self.batch_sharding = batch_sharding(self.mesh)
+        # device-side normalisation constants for uint8 batches (loaders with
+        # device_normalize=True ship raw uint8: 4x less host->device traffic)
+        self._norm_mean = jnp.asarray(
+            getattr(train_loader, "mean", (0.0, 0.0, 0.0)), jnp.float32
+        )
+        self._norm_std = jnp.asarray(
+            getattr(train_loader, "std", (1.0, 1.0, 1.0)), jnp.float32
+        )
 
         steps_per_epoch = max(len(train_loader), 1)
         self.steps_per_epoch = steps_per_epoch
@@ -159,15 +167,24 @@ class Trainer:
 
     # -- jitted bodies -------------------------------------------------------
 
+    def _prep_image(self, image):
+        """uint8 batches are normalised on device (XLA fuses this into the
+        first conv); float batches pass through untouched."""
+        if image.dtype == jnp.uint8:
+            return (image.astype(jnp.float32) / 255.0 - self._norm_mean) / self._norm_std
+        return image
+
     def _train_step_impl(self, state: TrainState, batch):
         params = state.params
         if self.project_params is not None:
             params = self.project_params(params)
         rng, step_rng = jax.random.split(state.rng)
 
+        image = self._prep_image(batch["image"])
+
         def compute_loss(p):
             full = merge_trees(self.frozen_params, p)
-            out = self.apply_fn(full, state.buffers, batch["image"], step_rng, True)
+            out = self.apply_fn(full, state.buffers, image, step_rng, True)
             # models with running statistics (BatchNorm) return their updated
             # buffer collection under '__buffers__'
             new_buffers = out.pop("__buffers__", None) if isinstance(out, dict) else None
@@ -196,7 +213,9 @@ class Trainer:
         if self.project_params is not None:
             params = self.project_params(params)
         params = merge_trees(self.frozen_params, params)
-        out = self.apply_fn(params, state.buffers, batch["image"], state.rng, False)
+        out = self.apply_fn(
+            params, state.buffers, self._prep_image(batch["image"]), state.rng, False
+        )
         loss_dict = self.loss_fn(out, {"label": batch["label"]})
         total = weighted_total(loss_dict, self.loss_weights)
         pred = out["pred"]["pred"] if isinstance(out["pred"], dict) else out["pred"]
