@@ -141,7 +141,38 @@ void ip_process_batch(const uint8_t* src, int n, int h, int w, int c,
     }
 }
 
-int ip_version() { return 2; }
+// uint8-output variants: same crop/flip/antialiased-resize, but the result is
+// rounded back to uint8 and NOT normalised — normalisation happens on the
+// accelerator, so only a quarter of the bytes cross the host->device link.
+void ip_process_sample_u8(const uint8_t* src, int h, int w, int c,
+                          int top, int left, int crop_h, int crop_w, int flip,
+                          uint8_t* dst, int oh, int ow) {
+    thread_local std::vector<float> fbuf;
+    fbuf.resize((size_t)oh * ow * c);
+    const float zero3[4] = {0, 0, 0, 0};
+    const float one3[4] = {1, 1, 1, 1};
+    // reuse the float pipeline with identity normalisation (x/255), then
+    // rescale back to [0, 255] and round
+    ip_process_sample(src, h, w, c, top, left, crop_h, crop_w, flip,
+                      fbuf.data(), oh, ow, zero3, one3);
+    for (size_t i = 0; i < fbuf.size(); ++i) {
+        float v = fbuf[i] * 255.0f + 0.5f;
+        dst[i] = (uint8_t)(v < 0 ? 0 : (v > 255 ? 255 : v));
+    }
+}
+
+void ip_process_batch_u8(const uint8_t* src, int n, int h, int w, int c,
+                         const int* tops, const int* lefts, int crop_h, int crop_w,
+                         const int* flips, uint8_t* dst, int oh, int ow) {
+    const size_t in_stride = (size_t)h * w * c;
+    const size_t out_stride = (size_t)oh * ow * c;
+    for (int i = 0; i < n; ++i) {
+        ip_process_sample_u8(src + i * in_stride, h, w, c, tops[i], lefts[i],
+                             crop_h, crop_w, flips[i], dst + i * out_stride, oh, ow);
+    }
+}
+
+int ip_version() { return 3; }
 
 }  // extern "C"
 
@@ -231,6 +262,20 @@ int ip_decode_process(const uint8_t* buf, int len,
     if (ip_decode_jpeg(buf, len, pixels.data()) != 0) return -1;
     ip_process_sample(pixels.data(), h, w, 3, top, left, crop_h, crop_w, flip,
                       dst, oh, ow, mean, stddev);
+    return 0;
+}
+
+// uint8-output fused decode (see ip_process_sample_u8)
+int ip_decode_process_u8(const uint8_t* buf, int len,
+                         int top, int left, int crop_h, int crop_w, int flip,
+                         uint8_t* dst, int oh, int ow) {
+    thread_local std::vector<uint8_t> pixels;
+    int w = 0, h = 0, c = 0;
+    if (ip_jpeg_dims(buf, len, &w, &h, &c) != 0) return -1;
+    pixels.resize((size_t)w * h * 3);
+    if (ip_decode_jpeg(buf, len, pixels.data()) != 0) return -1;
+    ip_process_sample_u8(pixels.data(), h, w, 3, top, left, crop_h, crop_w, flip,
+                         dst, oh, ow);
     return 0;
 }
 

@@ -111,18 +111,29 @@ class DataLoader:
                 dims = native.jpeg_dims(raw)
                 if dims is not None:
                     top, left, ch, cw, flip = self._native_params(dims, rng)
-                    out = native.decode_process(
-                        raw, top, left, ch, cw, flip, self._out_size, self.mean, self.std
-                    )
+                    if self.device_normalize:
+                        out = native.decode_process_u8(
+                            raw, top, left, ch, cw, flip, self._out_size
+                        )
+                    else:
+                        out = native.decode_process(
+                            raw, top, left, ch, cw, flip, self._out_size,
+                            self.mean, self.std,
+                        )
                     if out is not None:
                         return out, label, True
         img, label = self.dataset[int(idx)]
         img = np.asarray(img)
         if self._native_params is not None:
             top, left, ch, cw, flip = self._native_params(img.shape, rng)
-            out = native.process_sample(
-                img, top, left, ch, cw, flip, self._out_size, self.mean, self.std
-            )
+            if self.device_normalize:
+                out = native.process_sample_u8(
+                    img, top, left, ch, cw, flip, self._out_size
+                )
+            else:
+                out = native.process_sample(
+                    img, top, left, ch, cw, flip, self._out_size, self.mean, self.std
+                )
             return out, label, True
         return self.transform(img, rng), label, False
 
@@ -152,10 +163,15 @@ class DataLoader:
             t, l, ch, cw, f = self._native_params((h, w), rng)
             tops[j], lefts[j], flips[j] = t, l, int(f)
             crop_h, crop_w = ch, cw
-        out = native.process_batch(
-            images, tops, lefts, crop_h, crop_w, flips, self._out_size,
-            self.mean, self.std,
-        )
+        if self.device_normalize:
+            out = native.process_batch_u8(
+                images, tops, lefts, crop_h, crop_w, flips, self._out_size
+            )
+        else:
+            out = native.process_batch(
+                images, tops, lefts, crop_h, crop_w, flips, self._out_size,
+                self.mean, self.std,
+            )
         labels = self.dataset.labels[local_idx].astype(np.int32)
         return out, labels
 

@@ -61,6 +61,17 @@ def load_library(build_if_missing: bool = True) -> Optional[ctypes.CDLL]:
         f32p, ctypes.c_int, ctypes.c_int, f32p, f32p,
     ]
     lib.ip_version.restype = ctypes.c_int
+    if hasattr(lib, "ip_process_sample_u8"):
+        lib.ip_process_sample_u8.argtypes = [
+            u8p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            u8p, ctypes.c_int, ctypes.c_int,
+        ]
+        lib.ip_process_batch_u8.argtypes = [
+            u8p, ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            i32p, i32p, ctypes.c_int, ctypes.c_int, i32p,
+            u8p, ctypes.c_int, ctypes.c_int,
+        ]
     if hasattr(lib, "ip_decode_jpeg"):
         lib.ip_jpeg_dims.argtypes = [
             u8p, ctypes.c_int,
@@ -76,6 +87,13 @@ def load_library(build_if_missing: bool = True) -> Optional[ctypes.CDLL]:
             f32p, ctypes.c_int, ctypes.c_int, f32p, f32p,
         ]
         lib.ip_decode_process.restype = ctypes.c_int
+        if hasattr(lib, "ip_decode_process_u8"):
+            lib.ip_decode_process_u8.argtypes = [
+                u8p, ctypes.c_int,
+                ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+                u8p, ctypes.c_int, ctypes.c_int,
+            ]
+            lib.ip_decode_process_u8.restype = ctypes.c_int
     _LIB = lib
     logger.info("native imagepipe v%d loaded", lib.ip_version())
     return _LIB
@@ -193,3 +211,55 @@ def process_batch(
         np.asarray(mean, np.float32), np.asarray(std, np.float32),
     )
     return dst
+
+
+def process_sample_u8(
+    img: np.ndarray, top: int, left: int, crop_h: int, crop_w: int, flip: bool,
+    out_size: Sequence[int],
+) -> np.ndarray:
+    """crop+flip+resize with uint8 output (normalisation deferred to device)."""
+    lib = load_library()
+    img = np.ascontiguousarray(img, np.uint8)
+    h, w, c = img.shape
+    oh, ow = out_size
+    dst = np.empty((oh, ow, c), np.uint8)
+    lib.ip_process_sample_u8(
+        img, h, w, c, int(top), int(left), int(crop_h), int(crop_w), int(bool(flip)),
+        dst, oh, ow,
+    )
+    return dst
+
+
+def process_batch_u8(
+    images: np.ndarray, tops, lefts, crop_h: int, crop_w: int, flips,
+    out_size: Sequence[int],
+) -> np.ndarray:
+    lib = load_library()
+    images = np.ascontiguousarray(images, np.uint8)
+    n, h, w, c = images.shape
+    oh, ow = out_size
+    dst = np.empty((n, oh, ow, c), np.uint8)
+    lib.ip_process_batch_u8(
+        images, n, h, w, c,
+        np.ascontiguousarray(tops, np.int32), np.ascontiguousarray(lefts, np.int32),
+        int(crop_h), int(crop_w), np.ascontiguousarray(flips, np.int32),
+        dst, oh, ow,
+    )
+    return dst
+
+
+def decode_process_u8(
+    data: bytes, top: int, left: int, crop_h: int, crop_w: int, flip: bool,
+    out_size: Sequence[int],
+) -> Optional[np.ndarray]:
+    lib = load_library()
+    if lib is None or not hasattr(lib, "ip_decode_process_u8"):
+        return None
+    oh, ow = out_size
+    dst = np.empty((oh, ow, 3), np.uint8)
+    buf = np.frombuffer(data, np.uint8)
+    rc = lib.ip_decode_process_u8(
+        buf, len(buf), int(top), int(left), int(crop_h), int(crop_w), int(bool(flip)),
+        dst, oh, ow,
+    )
+    return dst if rc == 0 else None

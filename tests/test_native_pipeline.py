@@ -203,3 +203,32 @@ def test_loader_jpeg_fused_path(tmp_path, rng):
     batch = next(iter(loader))
     assert batch["image"].shape == (4, 32, 32, 3)
     assert np.isfinite(batch["image"]).all()
+
+
+def test_u8_variant_quantization_bound(rng):
+    """uint8-output variant equals the float pipeline within quantisation."""
+    img = rng.integers(0, 256, size=(40, 40, 3), dtype=np.uint8)
+    f32 = native.process_sample(img, -2, 3, 40, 40, True, (64, 64), (0, 0, 0), (1, 1, 1))
+    u8 = native.process_sample_u8(img, -2, 3, 40, 40, True, (64, 64))
+    np.testing.assert_allclose(u8.astype(np.float32) / 255.0, f32, atol=0.5 / 255 + 1e-5)
+
+
+def test_device_normalize_loader_matches_host_normalize(rng):
+    """uint8-shipped batches normalised on device == float32-shipped batches
+    (within uint8 quantisation)."""
+    import jax.numpy as jnp
+
+    from schemanet_tpu.data.datasets import build_synthetic
+    from schemanet_tpu.data.loader import DataLoader
+
+    ds = build_synthetic(num_classes=3, num_samples=16, image_size=32)
+    host = DataLoader(ds, batch_size=8, split="train", seed=1, resize=48, num_workers=1)
+    dev = DataLoader(ds, batch_size=8, split="train", seed=1, resize=48, num_workers=1,
+                     device_normalize=True)
+    b_host = next(iter(host))
+    b_dev = next(iter(dev))
+    assert b_dev["image"].dtype == np.uint8
+    mean = np.asarray(host.mean, np.float32)
+    std = np.asarray(host.std, np.float32)
+    renorm = (b_dev["image"].astype(np.float32) / 255.0 - mean) / std
+    np.testing.assert_allclose(renorm, b_host["image"], atol=(0.5 / 255) / std.min() + 1e-4)
