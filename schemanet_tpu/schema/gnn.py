@@ -16,12 +16,14 @@ Exact semantics preserved:
 * pooling: mean over the (padded) vertex axis of feat * vertex_weights, then a
   final Linear (gnn.py:94-97).
 
-Known scale delta vs the reference (documented, not a bug): the pooling mean
-divides by the *static* slot count (L for instances, V_max for class graphs)
-whereas the reference divides by the batch-max ragged size — a per-batch
-scalar. Under from-scratch training the matcher absorbs the constant; the
-reference's batch-dependent scaling is not reproducible in a fixed-shape
-program (and arguably undesirable).
+Pooling denominator: the reference pads instance graphs to the *batch-max
+ragged* vertex count and `feat.mean(dim=1)` divides by that per-batch scalar
+(gnn.py:96, match.py:46). Slots beyond a sample's live count contribute 0 to
+the pooled sum (vertex weights are 0 there), so the fixed-shape program
+reproduces it exactly by dividing the slot-sum by the traced scalar
+``max(num_slots)`` instead of the static slot count L — enabled by
+``Matcher.ref_pooling`` (default True). Class graphs are fixed [K, V_max] in
+the reference too, so their denominator stays the static V_max.
 """
 
 from __future__ import annotations
@@ -96,6 +98,7 @@ class GNN(nn.Module):
         edges: jnp.ndarray,  # [bs, n, n]
         ingredients: jnp.ndarray,  # [bs, n] int code ids (num_codes = padding)
         feat_mask: Optional[jnp.ndarray] = None,
+        pool_size: Optional[jnp.ndarray] = None,  # traced scalar denominator
     ) -> jnp.ndarray:
         def embed_init(key, shape, dtype=jnp.float32):
             # trunc_normal on real codes, zeros on the padding row (gnn.py:63-76)
@@ -115,7 +118,11 @@ class GNN(nn.Module):
                 name=f"layers_{i}",
             )(edges, feat, feat_mask)
         feat = feat * nodes[..., None].astype(feat.dtype)
-        feat = feat.mean(axis=1)
+        # mean over the padded vertex axis; with pool_size given, divide by the
+        # batch-max ragged size like the reference (gnn.py:96) — padded slots
+        # contribute 0 to the sum, so this is exact
+        denom = feat.shape[1] if pool_size is None else pool_size.astype(feat.dtype)
+        feat = feat.sum(axis=1) / denom
         feat = nn.Dense(
             self.embed_dim,
             dtype=self.dtype,
@@ -154,6 +161,9 @@ class Matcher(nn.Module):
     num_layers: int
     identity_proj: bool = False
     activation: str = "relu"
+    # divide instance pooling by the batch-max live slot count (exact reference
+    # semantics, match.py:46 + gnn.py:96) instead of the static slot count
+    ref_pooling: bool = True
     dtype: jnp.dtype = jnp.float32
 
     def setup(self):
@@ -167,11 +177,15 @@ class Matcher(nn.Module):
         )
 
     def __call__(self, instance: dict, atlas: dict) -> jnp.ndarray:
+        pool_size = None
+        if self.ref_pooling and instance.get("num_slots") is not None:
+            pool_size = jnp.maximum(jnp.max(instance["num_slots"]), 1)
         feat_instance = self.gnn(
             nodes=instance["instance_vertices"],
             edges=instance["instance_edges"],
             ingredients=instance["instance_ingredients"],
             feat_mask=instance.get("feat_mask"),
+            pool_size=pool_size,
         )  # [bs, dim]
         feat_kg = self.gnn(
             nodes=atlas["class_vertices"],

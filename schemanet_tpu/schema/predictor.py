@@ -103,6 +103,8 @@ class SchemaNetConfig:
     gnn_identity_proj: bool = False
     gnn_activation: str = "relu"
     similarity: str = "inner_product"
+    # exact reference pooling denominator (batch-max live slots); see gnn.py
+    ref_pooling: bool = True
 
 
 class SchemaNetPredictor(nn.Module):
@@ -138,6 +140,7 @@ class SchemaNetPredictor(nn.Module):
             num_layers=self.cfg.gnn_num_layers,
             identity_proj=self.cfg.gnn_identity_proj,
             activation=self.cfg.gnn_activation,
+            ref_pooling=self.cfg.ref_pooling,
             dtype=self.dtype,
             name="matcher",
         )
@@ -220,6 +223,7 @@ def build_predictor(
         gnn_identity_proj=gnn_cfg.get("identity_proj", False),
         gnn_activation=gnn_cfg.get("activation", "relu"),
         similarity=schema_cfg.get("matcher", {}).get("similarity", "inner_product"),
+        ref_pooling=schema_cfg.get("matcher", {}).get("ref_pooling", True),
     )
     return SchemaNetPredictor(
         backbone=backbone,

@@ -1,10 +1,11 @@
 """End-to-end logit parity: reference SchemaNet.forward (real C++ kernels) +
 Matcher vs our SchemaAtlas + Matcher with ported parameters.
 
-Inputs use all-distinct codes per sample so every ragged instance graph has
-exactly L vertices — then the reference's batch-max padding equals our static
-L slots and the (documented) pooling-denominator delta vanishes, making the
-comparison exact end to end.
+Inputs use REPEATED codes per sample — the realistic quantised regime, where
+per-sample ragged vertex counts differ and the reference pads instance graphs
+to the batch-max size (match.py:44-54). ``Matcher.ref_pooling`` divides our
+fixed-slot pooling by the same batch-max live-slot count, so parity is exact
+end to end with no input restrictions.
 """
 
 import numpy as np
@@ -26,8 +27,8 @@ def test_full_logit_parity(cpp_ext, rng):  # noqa: F811
     from schema_inference.graph.match import Matcher as RefMatcher
     from schema_inference.graph.schema_net import SchemaNet as RefSchemaNet
 
-    # all-distinct codes per sample
-    ingredients = np.stack([rng.permutation(M)[:L] for _ in range(BS)]).astype(np.int64)
+    # repeated codes per sample (realistic quantised inputs; ragged sizes vary)
+    ingredients = rng.integers(0, M, size=(BS, L)).astype(np.int64)
     attn_cls = rng.normal(size=(BS, L)).astype(np.float32)
     attn = rng.normal(size=(BS, L, L)).astype(np.float32)
 
@@ -77,7 +78,9 @@ def test_full_logit_parity(cpp_ext, rng):  # noqa: F811
         jnp.asarray(attn),
         jnp.asarray(attn_cls),
     )
-    assert int(np.asarray(instance["num_slots"]).min()) == L  # all-distinct check
+    num_slots = np.asarray(instance["num_slots"])
+    assert num_slots.min() < L, "inputs must exercise the repeated-code regime"
+    assert num_slots.min() != num_slots.max(), "ragged sizes must vary in-batch"
     atlas_dict = atlas.apply(variables, method="get_atlas")
 
     from tests.test_schema_parity import port_gnn_params
@@ -104,7 +107,7 @@ def test_full_gradient_parity(cpp_ext, rng):  # noqa: F811
     from schema_inference.graph.schema_net import SchemaNet as RefSchemaNet
     from schema_inference.loss.schema_inference_loss import SchemaInferenceLoss
 
-    ingredients = np.stack([rng.permutation(M)[:L] for _ in range(BS)]).astype(np.int64)
+    ingredients = rng.integers(0, M, size=(BS, L)).astype(np.int64)
     attn_cls = rng.normal(size=(BS, L)).astype(np.float32)
     attn = rng.normal(size=(BS, L, L)).astype(np.float32)
     labels = rng.integers(0, K, size=(BS,)).astype(np.int64)
