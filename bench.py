@@ -104,6 +104,19 @@ def main():
     print(f"bench: compiling train step (bs={batch_size}, dtype={dtype.__name__})...",
           file=sys.stderr, flush=True)
     t_compile = time.perf_counter()
+
+    # XLA's own cost model for the compiled step (exact flop count of the
+    # program actually executed, incl. backward); may be unavailable on some
+    # plugin backends -> report flops/MFU as null rather than guessing
+    flops_per_step = None
+    try:
+        compiled = train_step.lower(params, opt_state, image, label_).compile()
+        cost = compiled.cost_analysis()
+        if isinstance(cost, (list, tuple)):
+            cost = cost[0]
+        flops_per_step = float(cost.get("flops", 0.0)) or None
+    except Exception as e:
+        print(f"bench: cost_analysis unavailable: {e}", file=sys.stderr)
     # generous warmup: beyond the first compile, the first ~10 round-tripped
     # steps pay one-time costs on this backend (layout recompile, lazy constant
     # upload) that would otherwise dominate the timed window
@@ -114,6 +127,14 @@ def main():
     print(f"bench: warm after {time.perf_counter()-t_compile:.0f}s; timing {steps} steps",
           file=sys.stderr, flush=True)
 
+    profile_dir = os.environ.get("BENCH_PROFILE")
+    if profile_dir:
+        with jax.profiler.trace(profile_dir):
+            for _ in range(5):
+                params, opt_state, loss = train_step(params, opt_state, image, label_)
+            np.asarray(loss)
+        print(f"bench: profile trace written to {profile_dir}", file=sys.stderr)
+
     t0 = time.perf_counter()
     for _ in range(steps):
         params, opt_state, loss = train_step(params, opt_state, image, label_)
@@ -122,6 +143,12 @@ def main():
 
     n_chips = jax.device_count()
     images_per_sec_per_chip = batch_size * steps / dt / n_chips
+    step_ms = dt / steps * 1000
+    tflops = mfu = None
+    if flops_per_step:
+        tflops = flops_per_step * steps / dt / 1e12
+        # TPU v5e bf16 peak: 197 TFLOP/s/chip (paper number)
+        mfu = tflops / n_chips / 197.0
 
     baseline = 56.8
     try:
@@ -137,6 +164,11 @@ def main():
                 "value": round(images_per_sec_per_chip, 2),
                 "unit": "images/sec/chip",
                 "vs_baseline": round(images_per_sec_per_chip / baseline, 2),
+                "step_ms": round(step_ms, 2),
+                "batch_size": batch_size,
+                "flops_per_step": flops_per_step,
+                "tflops_per_sec": round(tflops, 2) if tflops else None,
+                "mfu_vs_v5e_peak": round(mfu, 4) if mfu else None,
             }
         )
     )

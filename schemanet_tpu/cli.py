@@ -147,6 +147,12 @@ def cmd_train(args):
     result = worker(cfg, _launch_args(args, args.resume))
     if isinstance(result, dict) and "eval" in result:
         logging.getLogger("cli").info("final eval: %s", result["eval"].get("acc"))
+    elif isinstance(result, dict):
+        # eval_worker returns the metrics dict directly — print it
+        logging.getLogger("cli").info(
+            "eval result: %s",
+            {k: v for k, v in result.items() if not k.startswith("_")},
+        )
     return 0
 
 

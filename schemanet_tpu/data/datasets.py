@@ -57,10 +57,13 @@ class ImageFolderDataset:
         class_offset: int = 0,
     ):
         self.root = os.path.expanduser(root)
-        found = sorted(
-            d for d in os.listdir(self.root) if os.path.isdir(os.path.join(self.root, d))
-        )
-        self.classes = list(classes) if classes is not None else found
+        if classes is not None:
+            self.classes = list(classes)  # no discovery listing needed
+        else:
+            self.classes = sorted(
+                d for d in os.listdir(self.root)
+                if os.path.isdir(os.path.join(self.root, d))
+            )
         self.name = name
         self.samples: List[Tuple[str, int]] = []
         for label, cls in enumerate(self.classes):
@@ -223,17 +226,77 @@ def build_imagenet(
 
 
 def _imagenet_subset(n: int):
-    def build(root: str, split: str = "train", classes=None, **kwargs):
-        ds = build_imagenet(root, split, classes=classes, **kwargs)
-        keep = ds.classes[:n]
-        ds2 = ImageFolderDataset(
-            os.path.join(root, "train" if split == "train" else "val"),
-            classes=keep,
-            name=f"imagenet={n}",
-        )
-        return ds2
+    def build(root: str, split: str = "train", classes=None, classes_file=None, **kwargs):
+        # single directory listing for the class names, then one scan over the
+        # kept class dirs only (the 1.28M-file train tree is walked once)
+        sub = os.path.join(os.path.expanduser(root), "train" if split == "train" else "val")
+        if classes is None and classes_file:
+            classes = load_class_list(classes_file)
+        if classes is None:
+            classes = sorted(
+                d for d in os.listdir(sub) if os.path.isdir(os.path.join(sub, d))
+            )
+        return ImageFolderDataset(sub, classes=list(classes)[:n], name=f"imagenet={n}")
 
     return build
+
+
+@DATASET_REGISTRY.register("imagenet=10birds")
+def build_imagenet_10birds(
+    root: str, split: str = "train", classes=None, classes_file=None, **kwargs
+):
+    """The reference's named 10-bird-class ImageNet subset (aug.py:37-38; its
+    wnid list lives in cv_lib). Provide the wnids via ``classes`` or
+    ``classes_file`` in the dataset config."""
+    if classes is None and classes_file:
+        classes = load_class_list(classes_file)
+    if classes is None:
+        raise ValueError(
+            "imagenet=10birds needs its wnid list: set dataset.classes or "
+            "dataset.classes_file (10 wnids, one per line)"
+        )
+    sub = os.path.join(os.path.expanduser(root), "train" if split == "train" else "val")
+    return ImageFolderDataset(sub, classes=classes, name="imagenet=10birds")
+
+
+def _imagenet_robustness(name: str):
+    """imagenet_a / imagenet_r (reference aug.py:57-58): val-only trees of 200
+    wnid class folders. With ``imagenet_classes_file`` (the 1000 wnids in
+    1000-class order) labels land in the full ImageNet label space so a
+    1000-way classifier evaluates directly; otherwise labels are local 0..199.
+    """
+
+    def build(
+        root: str,
+        split: str = "val",
+        imagenet_classes_file: Optional[str] = None,
+        **kwargs,
+    ):
+        base = os.path.expanduser(root)
+        # tolerate either <root>/ or <root>/val/ holding the wnid dirs
+        sub = os.path.join(base, "val")
+        if not os.path.isdir(sub):
+            sub = base
+        ds = ImageFolderDataset(sub, name=name)
+        if imagenet_classes_file:
+            full = load_class_list(imagenet_classes_file)
+            index_of = {wnid: i for i, wnid in enumerate(full)}
+            missing = [c for c in ds.classes if c not in index_of]
+            if missing:
+                raise ValueError(
+                    f"{name}: wnids {missing[:3]}... absent from "
+                    f"{imagenet_classes_file}"
+                )
+            remap = {local: index_of[c] for local, c in enumerate(ds.classes)}
+            ds.samples = [(p, remap[l]) for p, l in ds.samples]
+            ds.classes = full  # label space is now the full 1000 classes
+        return ds
+
+    return build
+
+
+DATASET_REGISTRY.register("imagenet_a", _imagenet_robustness("imagenet_a"))
+DATASET_REGISTRY.register("imagenet_r", _imagenet_robustness("imagenet_r"))
 
 
 for _n in (10, 20, 50, 100):
@@ -246,11 +309,26 @@ def build_caltech101(
     split: str = "train",
     train_per_class: int = 30,
     seed: int = 0,
+    split_file: Optional[str] = None,
     **kwargs,
 ) -> SubsetDataset:
-    """Deterministic per-class manual split (the reference uses cv_lib's manual
-    Caltech split; we split `train_per_class` images per class, seeded)."""
+    """Caltech-101 with cv_lib-style *manual* split support: pass
+    ``split_file`` (lines of ``<class_dir>/<filename>`` naming the TRAIN
+    members; val = remainder) to reproduce the reference's exact membership
+    and make accuracies comparable. Without it, a deterministic seeded
+    ``train_per_class``-per-class split is used."""
     base = ImageFolderDataset(root, name="caltech_101")
+    if split_file:
+        with open(os.path.expanduser(split_file)) as f:
+            train_set = {line.strip() for line in f if line.strip()}
+        root_abs = os.path.expanduser(root)
+        def rel(p):
+            return os.path.relpath(p, root_abs)
+        indices = [
+            i for i, (p, _) in enumerate(base.samples)
+            if (rel(p) in train_set) == (split == "train")
+        ]
+        return SubsetDataset(base, indices)
     rng = np.random.default_rng(seed)
     by_class: Dict[int, List[int]] = {}
     for i, (_, label) in enumerate(base.samples):
@@ -274,18 +352,93 @@ def build_mini_imagenet(
     return ImageFolderDataset(path, classes=classes, name="mini_imagenet")
 
 
+class FileListDataset(ImageFolderDataset):
+    """ImageFolderDataset API over an explicit (path, label) sample list."""
+
+    def __init__(self, samples: List[Tuple[str, int]], classes: List[str], name: str):
+        self.root = ""
+        self.classes = list(classes)
+        self.name = name
+        self.samples = list(samples)
+
+
 @DATASET_REGISTRY.register("cub_200")
 def build_cub200(root: str, split: str = "train", **kwargs):
-    return ImageFolderDataset(
-        os.path.join(root, "train" if split == "train" else "val"), name="cub_200"
-    )
+    """CUB-200-2011's real layout (the reference loads it via cv_lib; see
+    aug.py:45-46): a flat ``images/`` tree driven by ``images.txt``
+    (id rel_path), ``train_test_split.txt`` (id is_train) and
+    ``image_class_labels.txt`` (id class_id, 1-based), with class names in
+    ``classes.txt``. Falls back to a train/|val/ ImageFolder tree when the
+    split files are absent."""
+    base = os.path.expanduser(root)
+    # the official tarball unpacks to CUB_200_2011/
+    if not os.path.isfile(os.path.join(base, "images.txt")):
+        nested = os.path.join(base, "CUB_200_2011")
+        if os.path.isfile(os.path.join(nested, "images.txt")):
+            base = nested
+    images_txt = os.path.join(base, "images.txt")
+    if not os.path.isfile(images_txt):
+        return ImageFolderDataset(
+            os.path.join(base, "train" if split == "train" else "val"), name="cub_200"
+        )
+
+    def read_pairs(fn):
+        out = {}
+        with open(os.path.join(base, fn)) as f:
+            for line in f:
+                parts = line.split()
+                if len(parts) >= 2:
+                    out[parts[0]] = parts[1]
+        return out
+
+    paths = read_pairs("images.txt")
+    is_train = read_pairs("train_test_split.txt")
+    class_of = read_pairs("image_class_labels.txt")
+    classes = [None] * 200
+    with open(os.path.join(base, "classes.txt")) as f:
+        for line in f:
+            parts = line.split()
+            if len(parts) >= 2:
+                classes[int(parts[0]) - 1] = parts[1]
+    classes = [c for c in classes if c is not None]
+
+    want_train = split == "train"
+    samples = [
+        (os.path.join(base, "images", rel), int(class_of[img_id]) - 1)
+        for img_id, rel in sorted(paths.items(), key=lambda kv: int(kv[0]))
+        if (is_train.get(img_id) == "1") == want_train
+    ]
+    return FileListDataset(samples, classes, "cub_200")
 
 
 @DATASET_REGISTRY.register("stanford_cars")
 def build_stanford_cars(root: str, split: str = "train", **kwargs):
-    return ImageFolderDataset(
-        os.path.join(root, "train" if split == "train" else "val"), name="stanford_cars"
+    """Stanford Cars' real layout (reference aug.py:47-48; loader in cv_lib):
+    ``cars_train/``/``cars_test/`` flat image dirs with devkit .mat
+    annotations (``cars_train_annos.mat`` / ``cars_test_annos_withlabels.mat``,
+    class names in ``cars_meta.mat``; labels 1-based). Falls back to a
+    train/|val/ ImageFolder tree when the devkit is absent."""
+    base = os.path.expanduser(root)
+    devkit = os.path.join(base, "devkit")
+    want_train = split == "train"
+    annos_fp = os.path.join(
+        devkit, "cars_train_annos.mat" if want_train else "cars_test_annos_withlabels.mat"
     )
+    if not os.path.isfile(annos_fp):
+        return ImageFolderDataset(
+            os.path.join(base, "train" if want_train else "val"), name="stanford_cars"
+        )
+    from scipy.io import loadmat
+
+    meta = loadmat(os.path.join(devkit, "cars_meta.mat"), squeeze_me=True)
+    classes = [str(c) for c in meta["class_names"]]
+    # squeeze_me collapses 1-element struct arrays to 0-d; restore the axis
+    annos = np.atleast_1d(loadmat(annos_fp, squeeze_me=True)["annotations"])
+    img_dir = os.path.join(base, "cars_train" if want_train else "cars_test")
+    samples = [
+        (os.path.join(img_dir, str(a["fname"])), int(a["class"]) - 1) for a in annos
+    ]
+    return FileListDataset(samples, classes, "stanford_cars")
 
 
 # ---------------------------------------------------------------------------

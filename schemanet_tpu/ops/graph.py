@@ -163,12 +163,17 @@ def instance_vertices(
     vertex_attribute_weights: jnp.ndarray,  # [2, 1]
     clamp_vertex_attn: Optional[float] = None,
     mean: bool = True,
+    precision: str = "highest",
 ) -> jnp.ndarray:
     """Slot-space vertex weights [bs, L] (large_scale_feat_to_v.cpp:41-143).
 
     Per sample: (count, mean attn) per live slot, each attribute divided by its
     max over live slots (padding carries 0 and never wins the max since the
     softmaxed attention is non-negative), then blended by W_v.
+
+    ``precision`` follows _pair_mean_edges: 'highest' for CPU-reference
+    bit-parity (golden tests, init), 'default' for the bf16 MXU training path
+    (the one-hot operand is exact in bf16; only attn rounds).
     """
     bs, L = slots.pos_to_slot.shape
     attn_cls = clamp_softmax(attn_cls, clamp_vertex_attn)
@@ -176,9 +181,11 @@ def instance_vertices(
     # one-hot contraction instead of scatter-add (see vertex_attributes_full)
     proj = jax.nn.one_hot(slots.pos_to_slot, L, dtype=jnp.float32)  # [bs, L, S]
     count = jnp.sum(proj, axis=1)
+    prec = (
+        jax.lax.Precision.HIGHEST if precision == "highest" else jax.lax.Precision.DEFAULT
+    )
     attn_sum = jnp.einsum(
-        "bls,bl->bs", proj, attn_cls.astype(jnp.float32),
-        precision=jax.lax.Precision.HIGHEST,
+        "bls,bl->bs", proj, attn_cls.astype(jnp.float32), precision=prec,
     )
     attn_val = attn_sum / jnp.maximum(count, 1.0) if mean else attn_sum
     attrs = jnp.stack([count, attn_val], axis=-1)  # [bs, L, 2]

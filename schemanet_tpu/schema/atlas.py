@@ -172,7 +172,8 @@ class SchemaAtlas(nn.Module):
         c = self.cfg
         slots = graph_ops.compact_instance_slots(ingredients, num_codes=c.num_vertices)
         vertices = graph_ops.instance_vertices(
-            slots, attn_cls, self.vertex_attribute_weights, c.clamp_vertex_attn
+            slots, attn_cls, self.vertex_attribute_weights, c.clamp_vertex_attn,
+            precision=c.graph_precision,
         )
         geo = geometry.pairwise_point_sim(c.feat_h, c.feat_w, c.dist_alpha, c.dist_pow)
         edges = graph_ops.instance_edges(

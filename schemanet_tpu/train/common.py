@@ -234,6 +234,42 @@ class CheckpointManager:
         return os.path.isdir(self._path(tag))
 
 
+def merge_restored(init: Any, restored: Any, name: str = "ckpt") -> Any:
+    """Lax overlay of a restored tree onto a fresh-init tree, mirroring the
+    reference's tolerant ``load_pretrain_model`` (utils/model.py:24-33): keys
+    present in both with matching shapes come from the checkpoint; missing or
+    shape-mismatched keys (e.g. a cls head with a different class count) keep
+    the local initialisation and are logged instead of crashing."""
+    import logging
+
+    import numpy as np
+
+    logger = logging.getLogger("merge_restored")
+    skipped = []
+
+    def overlay(dst, src, path=""):
+        if isinstance(dst, dict):
+            out = {}
+            for k, v in dst.items():
+                if isinstance(src, dict) and k in src:
+                    out[k] = overlay(v, src[k], f"{path}/{k}")
+                else:
+                    skipped.append(f"{path}/{k} (missing in {name})")
+                    out[k] = v
+            return out
+        src_shape = getattr(src, "shape", np.shape(src))
+        dst_shape = getattr(dst, "shape", np.shape(dst))
+        if tuple(src_shape) != tuple(dst_shape):
+            skipped.append(f"{path} (shape {tuple(src_shape)} != {tuple(dst_shape)})")
+            return dst
+        return src
+
+    merged = overlay(init, restored)
+    for msg in skipped:
+        logger.warning("keeping local init for %s", msg)
+    return merged
+
+
 def save_metadata(ckpt_dir: str, meta: Dict[str, Any]):
     import json
 

@@ -55,20 +55,29 @@ class Evaluation:
 
     def __call__(self, params, buffers=None) -> Dict[str, Any]:
         buffers = buffers if buffers is not None else {}
-        counts = {k: 0.0 for k in self.top_k}
-        loss_total, n_total = 0.0, 0.0
-        loss_dict_tot: Dict[str, float] = {}
+        # device-side accumulation, single host fetch per evaluation (avoids a
+        # forced device->host sync per batch)
+        acc = None
         for batch in self.val_loader:
             if self.batch_sharding is not None:
                 batch = {k: jax.device_put(v, self.batch_sharding) for k, v in batch.items()}
             out = self._step(params, buffers, batch)
-            n = float(out["n"])
-            n_total += n
-            loss_total += float(out["loss"]) * n
-            for k in self.top_k:
-                counts[k] += float(out["acc_counts"][k])
-            for key, v in out["loss_dict"].items():
-                loss_dict_tot[key] = loss_dict_tot.get(key, 0.0) + float(v) * n
+            n = out["n"]
+            contrib = {
+                "n": n,
+                "loss": out["loss"] * n,
+                "acc_counts": out["acc_counts"],
+                "loss_dict": jax.tree_util.tree_map(lambda v: v * n, out["loss_dict"]),
+            }
+            acc = contrib if acc is None else jax.tree_util.tree_map(jnp.add, acc, contrib)
+        acc = jax.device_get(acc) if acc is not None else {
+            "n": 0.0, "loss": 0.0, "acc_counts": {k: 0.0 for k in self.top_k},
+            "loss_dict": {},
+        }
+        n_total = float(acc["n"])
+        loss_total = float(acc["loss"])
+        counts = {k: float(acc["acc_counts"][k]) for k in self.top_k}
+        loss_dict_tot = {k: float(v) for k, v in acc["loss_dict"].items()}
         if jax.process_count() > 1:
             from jax.experimental import multihost_utils
 
@@ -126,14 +135,17 @@ class IncEvaluation:
         per_task = {}
         total_correct = total_n = 0.0
         for task, loader in enumerate(self.val_loaders):
-            t_correct = a_correct = n = 0.0
+            acc = None
             for batch in loader:
                 if self.batch_sharding is not None:
                     batch = {k: jax.device_put(v, self.batch_sharding) for k, v in batch.items()}
                 out = self._step(params, buffers, batch, task)
-                t_correct += float(out["task_correct"])
-                a_correct += float(out["all_correct"])
-                n += float(out["n"])
+                acc = out if acc is None else jax.tree_util.tree_map(jnp.add, acc, out)
+            acc = jax.device_get(acc) if acc is not None else {
+                "task_correct": 0.0, "all_correct": 0.0, "n": 0.0}
+            t_correct = float(acc["task_correct"])
+            a_correct = float(acc["all_correct"])
+            n = float(acc["n"])
             per_task[task] = {
                 "acc_task": t_correct / max(n, 1.0),
                 "acc_all": a_correct / max(n, 1.0),
@@ -167,13 +179,17 @@ class CBEvaluation:
 
     def __call__(self, params, buffers=None) -> Dict[str, float]:
         buffers = buffers if buffers is not None else {}
-        sums = {"acc": 0.0, "acc_model": 0.0, "acc_origin": 0.0, "n": 0.0}
+        acc = None
         for batch in self.val_loader:
             if self.batch_sharding is not None:
                 batch = {k: jax.device_put(v, self.batch_sharding) for k, v in batch.items()}
             out = self._step(params, buffers, batch)
-            for k in sums:
-                sums[k] += float(out[k])
+            acc = out if acc is None else jax.tree_util.tree_map(jnp.add, acc, out)
+        sums = (
+            {k: float(v) for k, v in jax.device_get(acc).items()}
+            if acc is not None
+            else {"acc": 0.0, "acc_model": 0.0, "acc_origin": 0.0, "n": 0.0}
+        )
         if jax.process_count() > 1:
             from jax.experimental import multihost_utils
 

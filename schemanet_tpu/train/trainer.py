@@ -244,20 +244,30 @@ class Trainer:
         return metrics
 
     def validate(self) -> Dict[str, Any]:
-        totals: Dict[str, float] = {}
-        counts = {k: 0.0 for k in self.top_k}
-        n_total, loss_total = 0.0, 0.0
+        # accumulate on device, fetch ONCE per validation: a float() per batch
+        # forces a host round-trip per eval step, which dominates eval
+        # wall-clock on slow-uplink hosts
+        acc = None
         self.val_loader.set_epoch(0)
         for batch in self.val_loader:
             batch = {k: jax.device_put(v, self.batch_sharding) for k, v in batch.items()}
             out = self._eval_step(self.state, batch)
-            n = float(out["n"])
-            n_total += n
-            loss_total += float(out["loss"]) * n
-            for k in self.top_k:
-                counts[k] += float(out["acc_counts"][k])
-            for key, v in out["loss_dict"].items():
-                totals[key] = totals.get(key, 0.0) + float(v) * n
+            n = out["n"]
+            contrib = {
+                "n": n,
+                "loss": out["loss"] * n,
+                "acc_counts": out["acc_counts"],
+                "loss_dict": jax.tree_util.tree_map(lambda v: v * n, out["loss_dict"]),
+            }
+            acc = contrib if acc is None else jax.tree_util.tree_map(jnp.add, acc, contrib)
+        acc = jax.device_get(acc) if acc is not None else {
+            "n": 0.0, "loss": 0.0, "acc_counts": {k: 0.0 for k in self.top_k},
+            "loss_dict": {},
+        }
+        n_total = float(acc["n"])
+        loss_total = float(acc["loss"])
+        counts = {k: float(acc["acc_counts"][k]) for k in self.top_k}
+        totals = {k: float(v) for k, v in acc["loss_dict"].items()}
         if jax.process_count() > 1:
             from jax.experimental import multihost_utils
 

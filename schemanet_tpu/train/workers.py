@@ -139,6 +139,12 @@ def schema_net_worker(global_cfg: Dict[str, Any], args: LaunchArgs) -> Dict[str,
     (reference tasks/worker_schema_net.py)."""
     data_cfg, train_cfg, val_cfg = _split_cfg(global_cfg, args)
     schema_cfg = global_cfg["schema_net"]
+    # training defaults to bf16 MXU graph contractions (~4x on the hot path);
+    # the init pipeline keeps 'highest' for CPU-reference bit-parity. A YAML
+    # may pin either via schema_net.ir_atlas.graph_precision.
+    ir_cfg = dict(schema_cfg.get("ir_atlas") or {})
+    ir_cfg.setdefault("graph_precision", "default")
+    schema_cfg = dict(schema_cfg, ir_atlas=ir_cfg)
     loss_cfg = global_cfg["loss"]
     if args.debug:
         train_cfg = dict(train_cfg, batch_size=max(jax.device_count(), 1))
@@ -264,9 +270,13 @@ def eval_worker(global_cfg: Dict[str, Any], args: LaunchArgs) -> Dict[str, Any]:
     dummy = jnp.zeros((1, model.img_size, model.img_size, model.image_channels), jnp.float32)
     params = model.init(jax.random.PRNGKey(0), dummy)["params"]
     if args.resume:
+        from .common import merge_restored
+
         ckpt = CheckpointManager(os.path.dirname(os.path.abspath(args.resume)))
         restored = ckpt.restore(os.path.abspath(args.resume))
-        params = restored["params"]
+        # lax overlay: a checkpoint from a different class count keeps the
+        # local head instead of crashing (reference utils/model.py:24-33)
+        params = merge_restored(params, restored.get("params", restored))
 
     def apply_fn(p, b, image, train=False):
         return model.apply({"params": p}, image, deterministic=True)
@@ -304,7 +314,10 @@ def _assemble_schema_predictor(global_cfg, args, n_classes):
     params["backbone"] = bundle.backbone_params
     params["ingredient_backbone"] = {"vocabulary": bundle.codebook}
     if args.resume:
+        from .common import merge_restored
+
         ckpt = CheckpointManager(os.path.dirname(os.path.abspath(args.resume)))
         restored = ckpt.restore(os.path.abspath(args.resume))
-        params, buffers = restored["params"], restored["buffers"]
+        params = merge_restored(params, restored["params"])
+        buffers = merge_restored(buffers, restored["buffers"], name="ckpt buffers")
     return predictor, params, buffers

@@ -164,3 +164,24 @@ def test_training_determinism(tmp_path):
         np.testing.assert_array_equal(
             np.asarray(v1), np.asarray(v2), err_msg=jax.tree_util.keystr(k1)
         )
+
+
+def test_merge_restored_lax_overlay():
+    import numpy as np
+
+    from schemanet_tpu.train.common import merge_restored
+
+    init = {
+        "backbone": {"kernel": np.zeros((4, 4))},
+        "cls_head": {"kernel": np.zeros((4, 13)), "bias": np.zeros((13,))},
+        "extra": np.zeros((2,)),
+    }
+    restored = {
+        "backbone": {"kernel": np.ones((4, 4))},
+        "cls_head": {"kernel": np.ones((4, 7)), "bias": np.ones((7,))},  # 7 != 13
+    }
+    merged = merge_restored(init, restored)
+    assert (merged["backbone"]["kernel"] == 1).all()  # matching -> from ckpt
+    assert merged["cls_head"]["kernel"].shape == (4, 13)  # mismatch -> local
+    assert (merged["cls_head"]["kernel"] == 0).all()
+    assert (merged["extra"] == 0).all()  # missing -> local
