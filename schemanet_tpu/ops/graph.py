@@ -140,11 +140,16 @@ def compact_instance_slots(ingredients: jnp.ndarray, num_codes: int) -> Instance
     num_slots = slot_of_sorted[:, -1] + 1
     # NO scatters below — XLA serialises TPU scatter as O(bs*L) update slices.
     # codes[b, s] = the sorted code at the first position whose slot == s;
-    # slot_of_sorted is non-decreasing so searchsorted finds first occurrence.
+    # slot_of_sorted is non-decreasing, so the first occurrence of slot s is
+    # the count of entries < s. A dense comparison-sum replaces
+    # vmap(searchsorted): the binary search lowers to a serial while-loop +
+    # gather that profiled at ~19% of the train step; this is one fused
+    # [bs, L, L] reduction.
     slot_ids = jnp.arange(L, dtype=jnp.int32)
-    first_pos = jax.vmap(
-        lambda row: jnp.searchsorted(row, slot_ids, side="left")
-    )(slot_of_sorted)  # [bs, L] (== L when slot unused)
+    first_pos = jnp.sum(
+        (slot_of_sorted[:, :, None] < slot_ids[None, None, :]).astype(jnp.int32),
+        axis=1,
+    )  # [bs, L] (== L when slot unused)
     codes = jnp.where(
         slot_ids[None, :] < num_slots[:, None],
         jnp.take_along_axis(sorted_codes, jnp.minimum(first_pos, L - 1), axis=1),

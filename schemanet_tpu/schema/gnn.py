@@ -36,6 +36,16 @@ import jax.numpy as jnp
 
 
 class GraphConv(nn.Module):
+    """feat <- ((E + E^T)/2 + I) @ feat, then Linear (reference gnn.py:20-31).
+
+    Computed as 0.5*(E@f) + 0.5*(E^T@f) + f with E^T@f expressed as a
+    first-axis contraction — the explicit [K, V, V] transpose otherwise
+    materialises a 420 MB layout copy at atlas scale AND propagates a
+    transposed layout into the atlas param/optimizer pipeline (profiled as ~8
+    full-tensor layout-conversion copies, ~10 ms/step at ImageNet-lite scale).
+    The MXU contracts either operand axis natively; no copy is emitted.
+    """
+
     out_dim: int
     identity_proj: bool = False
     dtype: jnp.dtype = jnp.float32
@@ -43,9 +53,10 @@ class GraphConv(nn.Module):
     @nn.compact
     def __call__(self, edges: jnp.ndarray, feat: jnp.ndarray) -> jnp.ndarray:
         # edges: [bs, n, n], feat: [bs, n, dim]
-        n = edges.shape[-1]
-        adj = (edges + jnp.swapaxes(edges, -1, -2)) / 2 + jnp.eye(n, dtype=edges.dtype)
-        feat = jnp.einsum("bnm,bmd->bnd", adj.astype(feat.dtype), feat)
+        e = edges.astype(feat.dtype)
+        fwd = jnp.einsum("bnm,bmd->bnd", e, feat)  # E @ f
+        bwd = jnp.einsum("bmn,bmd->bnd", e, feat)  # E^T @ f, no transpose
+        feat = 0.5 * (fwd + bwd) + feat
         if self.identity_proj:
             return feat
         return nn.Dense(
