@@ -33,15 +33,25 @@ class ServePredictor:
 
     def __post_init__(self):
         variables = {"params": self.params, "buffers": self.buffers}
+        # Serving must be batch-invariant: the reference's instance-GNN pooling
+        # divides by the *batch-max* live-slot count (gnn.py:96 + match.py:46),
+        # so logits depend on which images share a batch — correct for training
+        # parity, wrong for a deterministic f(image) serving contract. Serve
+        # with the static slot-count denominator instead: per sample this is a
+        # uniform positive rescale of all K logits, so argmax/top-k are
+        # identical to reference semantics while microbatching becomes exact.
+        serve_module = self.predictor.clone(
+            cfg=dataclasses.replace(self.predictor.cfg, ref_pooling=False)
+        )
 
         @jax.jit
         def _predict(image):
-            out = self.predictor.apply(variables, image)
+            out = serve_module.apply(variables, image)
             return out["pred"]
 
         @jax.jit
         def _explain(image):
-            out = self.predictor.apply(variables, image, True)
+            out = serve_module.apply(variables, image, True)
             c = self.predictor.cfg.atlas
             ingredients = out["ingredients"]  # [bs, L]
             class_vertices = out["class_vertices"]  # [K, V_max]

@@ -29,6 +29,19 @@ def test_predict_microbatching(server, rng):
     np.testing.assert_allclose(logits[3], one[0], rtol=1e-4, atol=1e-5)
 
 
+def test_serve_argmax_matches_reference_pooling(server, rng):
+    # serve uses the static slot-count pooling denominator (batch-invariant);
+    # that is a uniform positive per-sample rescale of the reference's
+    # batch-max denominator, so predicted labels must agree exactly
+    images = rng.normal(size=(6, 32, 32, 3)).astype(np.float32)
+    ref_logits = server.predictor.apply(
+        {"params": server.params, "buffers": server.buffers}, jnp.asarray(images)
+    )["pred"]
+    np.testing.assert_array_equal(
+        server.predict(images).argmax(-1), np.asarray(ref_logits).argmax(-1)
+    )
+
+
 def test_explain_attribution(server, rng):
     images = rng.normal(size=(3, 32, 32, 3)).astype(np.float32)
     res = server.explain(images)
