@@ -128,37 +128,52 @@ def compact_instance_slots(ingredients: jnp.ndarray, num_codes: int) -> Instance
 
     Matches the C++ map iteration order (ascending code id) so slot s holds the
     s-th smallest distinct code of the sample.
+
+    NO scatters or gathers anywhere — XLA serialises TPU scatters per update,
+    and dynamic gathers (``take_along_axis``) lower to a kCustom fusion that
+    profiled at ~6% of the train step. Instead:
+
+    * value-carrying ``lax.sort`` replaces argsort + gather (the sort network
+      moves the payload along with the keys);
+    * the inverse permutation is a second carry-sort keyed on the forward
+      permutation (sorting a permutation back to iota drops the payload into
+      original position order);
+    * per-slot codes come from a one-hot contraction: every position of a slot
+      holds the same code, so sum/count reproduces it exactly in fp32
+      (code * count <= num_codes * L < 2^24).
     """
     bs, L = ingredients.shape
-    order = jnp.argsort(ingredients, axis=1, stable=True)  # positions sorted by code
-    sorted_codes = jnp.take_along_axis(ingredients, order, axis=1)
+    iota = jnp.broadcast_to(jnp.arange(L, dtype=jnp.int32)[None, :], (bs, L))
+    sorted_codes, order = jax.lax.sort(
+        (ingredients.astype(jnp.int32), iota), dimension=1, is_stable=True, num_keys=1
+    )
     is_new = jnp.concatenate(
         [jnp.ones((bs, 1), bool), sorted_codes[:, 1:] != sorted_codes[:, :-1]], axis=1
     )
     # slot id of each *sorted* position
     slot_of_sorted = jnp.cumsum(is_new.astype(jnp.int32), axis=1) - 1  # [bs, L]
     num_slots = slot_of_sorted[:, -1] + 1
-    # NO scatters below — XLA serialises TPU scatter as O(bs*L) update slices.
-    # codes[b, s] = the sorted code at the first position whose slot == s;
-    # slot_of_sorted is non-decreasing, so the first occurrence of slot s is
-    # the count of entries < s. A dense comparison-sum replaces
-    # vmap(searchsorted): the binary search lowers to a serial while-loop +
-    # gather that profiled at ~19% of the train step; this is one fused
-    # [bs, L, L] reduction.
+    # carry slot ids back to original position order: `order` is a permutation,
+    # so sorting by it yields iota and deposits the carried slot ids at their
+    # pre-sort positions — an inverse permutation with no argsort, no gather
+    _, pos_to_slot = jax.lax.sort(
+        (order, slot_of_sorted), dimension=1, is_stable=True, num_keys=1
+    )
     slot_ids = jnp.arange(L, dtype=jnp.int32)
-    first_pos = jnp.sum(
-        (slot_of_sorted[:, :, None] < slot_ids[None, None, :]).astype(jnp.int32),
-        axis=1,
-    )  # [bs, L] (== L when slot unused)
-    codes = jnp.where(
-        slot_ids[None, :] < num_slots[:, None],
-        jnp.take_along_axis(sorted_codes, jnp.minimum(first_pos, L - 1), axis=1),
-        num_codes,
-    ).astype(jnp.int32)
-    # invert the sort permutation via ranking: inv(order) = argsort(order)
-    inv_order = jnp.argsort(order, axis=1)
-    pos_to_slot = jnp.take_along_axis(slot_of_sorted, inv_order, axis=1)
     mask = slot_ids[None, :] < num_slots[:, None]
+    # codes[b, s]: all positions of slot s share one code, so the one-hot mean
+    # recovers it; fp32 + HIGHEST keeps the integer arithmetic exact
+    proj = jax.nn.one_hot(pos_to_slot, L, dtype=jnp.float32)  # [bs, L, S]
+    count = jnp.sum(proj, axis=1)  # [bs, S]
+    code_sum = jnp.einsum(
+        "bls,bl->bs", proj, ingredients.astype(jnp.float32),
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    codes = jnp.where(
+        mask,
+        jnp.round(code_sum / jnp.maximum(count, 1.0)).astype(jnp.int32),
+        num_codes,
+    )
     return InstanceSlots(codes, pos_to_slot, num_slots, mask)
 
 

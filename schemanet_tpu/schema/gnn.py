@@ -35,6 +35,41 @@ import jax
 import jax.numpy as jnp
 
 
+@jax.custom_vjp
+def _sym_conv(e: jnp.ndarray, f: jnp.ndarray) -> jnp.ndarray:
+    """((E + E^T)/2 + I) @ f without materialising E^T (see GraphConv)."""
+    fwd = jnp.einsum("bnm,bmd->bnd", e, f)  # E @ f
+    bwd = jnp.einsum("bmn,bmd->bnd", e, f)  # E^T @ f, first-axis contraction
+    return 0.5 * (fwd + bwd) + f
+
+
+def _sym_conv_fwd(e, f):
+    return _sym_conv(e, f), (e, f)
+
+
+def _sym_conv_bwd(res, g):
+    e, f = res
+    # autodiff would emit TWO [bs,n,n]-producing dots for dE (one per einsum)
+    # whose outputs land in different layouts — the downstream grad add then
+    # materialises a full-tensor layout copy (420 MB at ImageNet atlas scale).
+    # But the two terms are literally transposes of each other:
+    #   dE = 0.5 * (g f^T + f g^T) = 0.5 * (t + t^T),  t = g f^T
+    # so compute t once and symmetrise — saves one [K,V,V] dot per layer per
+    # step and hands the optimizer a single consistently-laid-out tensor.
+    t = jnp.einsum("bnd,bmd->bnm", g, f)
+    de = 0.5 * (t + jnp.swapaxes(t, 1, 2))
+    # df mirrors the forward (the operator is symmetric): 0.5(E^T + E) g + g
+    df = (
+        0.5
+        * (jnp.einsum("bnm,bnd->bmd", e, g) + jnp.einsum("bnm,bmd->bnd", e, g))
+        + g
+    )
+    return de, df
+
+
+_sym_conv.defvjp(_sym_conv_fwd, _sym_conv_bwd)
+
+
 class GraphConv(nn.Module):
     """feat <- ((E + E^T)/2 + I) @ feat, then Linear (reference gnn.py:20-31).
 
@@ -44,6 +79,8 @@ class GraphConv(nn.Module):
     transposed layout into the atlas param/optimizer pipeline (profiled as ~8
     full-tensor layout-conversion copies, ~10 ms/step at ImageNet-lite scale).
     The MXU contracts either operand axis natively; no copy is emitted.
+    The custom VJP (_sym_conv_bwd) applies the same reasoning to the backward
+    edge gradient.
     """
 
     out_dim: int
@@ -54,9 +91,7 @@ class GraphConv(nn.Module):
     def __call__(self, edges: jnp.ndarray, feat: jnp.ndarray) -> jnp.ndarray:
         # edges: [bs, n, n], feat: [bs, n, dim]
         e = edges.astype(feat.dtype)
-        fwd = jnp.einsum("bnm,bmd->bnd", e, feat)  # E @ f
-        bwd = jnp.einsum("bmn,bmd->bnd", e, feat)  # E^T @ f, no transpose
-        feat = 0.5 * (fwd + bwd) + feat
+        feat = _sym_conv(e, feat)
         if self.identity_proj:
             return feat
         return nn.Dense(
