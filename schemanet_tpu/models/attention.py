@@ -90,7 +90,8 @@ class MultiHeadSelfAttention(nn.Module):
         seq: jnp.ndarray,  # [bs, n, dim]
         attn_mask: Optional[jnp.ndarray] = None,
         deterministic: bool = True,
-    ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+        fused: bool = False,
+    ) -> Tuple[jnp.ndarray, Optional[jnp.ndarray], Optional[jnp.ndarray]]:
         assert self.embed_dim % self.num_heads == 0
         bs, n, dim = seq.shape
         head_dim = self.embed_dim // self.num_heads
@@ -103,10 +104,33 @@ class MultiHeadSelfAttention(nn.Module):
             bias_init=nn.initializers.zeros,
             name="linear_qkv",
         )
+        dense_out = nn.Dense(
+            self.embed_dim,
+            use_bias=self.use_bias,
+            dtype=self.dtype,
+            kernel_init=nn.initializers.xavier_uniform(),
+            bias_init=nn.initializers.zeros,
+            name="linear_out",
+        )
         if self.detach_w_qk or self.detach_w_v:
             qkv = self._detached_qkv(dense_qkv, seq)
         else:
             qkv = dense_qkv(seq)
+        if (
+            fused
+            and not self.is_initializing()  # init may run on a host device
+            and attn_mask is None
+            and not (self.dropout and not deterministic)
+        ):
+            # Pallas flash path (frozen forward): scores never reach HBM and
+            # the qkv layout stays untouched; attn probes are unavailable —
+            # Transformer.run only requests this when nothing captures them
+            from ..ops.pallas.attention import attention_backend, fused_mhsa
+
+            backend = attention_backend()
+            if backend in ("pallas", "interpret"):
+                out = fused_mhsa(qkv, self.num_heads, interpret=backend == "interpret")
+                return dense_out(out), None, None
         qkv = qkv.reshape(bs, n, 3, self.num_heads, head_dim)
         q, k, v = (
             jnp.moveaxis(qkv[:, :, i], 1, 2) for i in range(3)
@@ -124,15 +148,7 @@ class MultiHeadSelfAttention(nn.Module):
             dropout_rng=dropout_rng,
         )
         out = jnp.moveaxis(out, 1, 2).reshape(bs, n, self.embed_dim)
-        out = nn.Dense(
-            self.embed_dim,
-            use_bias=self.use_bias,
-            dtype=self.dtype,
-            kernel_init=nn.initializers.xavier_uniform(),
-            bias_init=nn.initializers.zeros,
-            name="linear_out",
-        )(out)
-        return out, attn, attn_raw
+        return dense_out(out), attn, attn_raw
 
     def _detached_qkv(self, dense_qkv: nn.Dense, seq: jnp.ndarray) -> jnp.ndarray:
         """Apply the fused projection with per-block stop_gradient on the

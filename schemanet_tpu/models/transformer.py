@@ -42,6 +42,7 @@ class EncoderLayer(nn.Module):
         seq: jnp.ndarray,
         attn_mask: Optional[jnp.ndarray] = None,
         deterministic: bool = True,
+        fused: bool = False,
     ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
         attention = MultiHeadSelfAttention(
             self.num_heads, self.embed_dim, self.dropout, dtype=self.dtype, name="attention"
@@ -64,22 +65,23 @@ class EncoderLayer(nn.Module):
 
         probes: Dict[str, jnp.ndarray] = {}
         if self.pre_norm:
-            x, attn, attn_raw = attention(norm1(seq), attn_mask, deterministic)
+            x, attn, attn_raw = attention(norm1(seq), attn_mask, deterministic, fused)
             probes["resid1"] = seq + x
             seq = seq + dropped(x)
             x = mlp(norm2(seq), deterministic)
             probes["resid2"] = seq + x
             seq = seq + dropped(x)
         else:
-            x, attn, attn_raw = attention(seq, attn_mask, deterministic)
+            x, attn, attn_raw = attention(seq, attn_mask, deterministic, fused)
             x = norm1(x)
             probes["resid1"] = seq + x
             seq = seq + dropped(x)
             x = norm2(mlp(seq, deterministic))
             probes["resid2"] = seq + x
             seq = seq + dropped(x)
-        probes["attn"] = attn
-        probes["attn_raw"] = attn_raw
+        if attn is not None:  # unavailable on the fused (Pallas) path
+            probes["attn"] = attn
+            probes["attn_raw"] = attn_raw
         probes["out"] = seq
         return seq, probes
 
@@ -133,13 +135,19 @@ class Transformer(nn.Module):
         capture: Tuple[str, ...] = (),
         start_layer: int = 0,
         end_layer: Optional[int] = None,
+        fused_attention: bool = False,
     ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
         end_layer = self.num_encoder_layers if end_layer is None else end_layer
         captured: Dict[str, jnp.ndarray] = {}
         if not self.pre_norm and self.norm is not None and start_layer == 0:
             seq = self.norm(seq)  # post-norm applies the final norm first (ref :146-153)
         for i in range(start_layer, end_layer):
-            seq, probes = self.layers[i](seq, attn_mask, deterministic)
+            # the fused kernel cannot surface attention probes — any layer
+            # whose attn/attn_raw is captured takes the plain XLA path
+            fused_i = fused_attention and not any(
+                c in capture for c in (f"layers_{i}.attn", f"layers_{i}.attn_raw")
+            )
+            seq, probes = self.layers[i](seq, attn_mask, deterministic, fused_i)
             for kind, value in probes.items():
                 probe_name = f"layers_{i}.{kind}"
                 if probe_name in capture:

@@ -109,6 +109,7 @@ class ViT(nn.Module):
         end_layer: int,
         deterministic: bool = True,
         capture: Tuple[str, ...] = (),
+        fused_attention: bool = False,
     ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
         """Run patchify + layers [0, end_layer) — the 'backbone' half of the
         reference's decoupled JIT export (the mid feature is the output of
@@ -118,18 +119,29 @@ class ViT(nn.Module):
         seq = jnp.concatenate([self.prefix_tokens(bs), seq], axis=1)
         seq = self.pos_embed(seq, deterministic=deterministic)
         return self.transformer.run(
-            seq, deterministic=deterministic, capture=capture, end_layer=end_layer
+            seq,
+            deterministic=deterministic,
+            capture=capture,
+            end_layer=end_layer,
+            fused_attention=fused_attention,
         )
 
     def resume_from_layer(
-        self, seq: jnp.ndarray, start_layer: int, deterministic: bool = True
+        self,
+        seq: jnp.ndarray,
+        start_layer: int,
+        deterministic: bool = True,
+        fused_attention: bool = False,
     ) -> Dict[str, jnp.ndarray]:
         """Resume the encoder from the output of ``layers_{start_layer-1}`` and
         classify — the functional equivalent of the reference's cls_header JIT
         trace that re-enters the model with a hook substituting the mid feature
         (save_backbone_jit.py:78-90,110-114)."""
         seq, _ = self.transformer.run(
-            seq, deterministic=deterministic, start_layer=start_layer
+            seq,
+            deterministic=deterministic,
+            start_layer=start_layer,
+            fused_attention=fused_attention,
         )
         return self.head(seq, deterministic)
 

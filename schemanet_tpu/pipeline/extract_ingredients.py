@@ -32,10 +32,17 @@ def collect_mid_features(
     """Yield [n, d] batches of mid-layer patch tokens (CLS stripped, like the
     reference Adapter) until max_features is reached."""
 
+    from ..ops.pallas.attention import attention_backend
+
+    fused = attention_backend() != "xla"
+
     @jax.jit
     def step(p, image):
+        # no capture needed here -> the whole forward can take the fused
+        # Pallas attention on TPU backends
         seq, _ = model.apply(
-            {"params": p}, image, encode_layer + 1, method="encode_until"
+            {"params": p}, image, encode_layer + 1, method="encode_until",
+            fused_attention=fused,
         )
         return seq[:, model.num_prefix_tokens :, :]  # strip CLS/dist tokens
 

@@ -57,9 +57,18 @@ class IngredientBackbone(nn.Module):
     def __call__(self, img: jnp.ndarray, quantize: Optional[bool] = None) -> Dict[str, jnp.ndarray]:
         extract = self.extract_layer if self.extract_layer is not None else self.encode_layer
         capture = (f"layers_{extract}.attn_raw",)
-        # frozen: run under stop_gradient (the reference loads no-grad traces)
+        # frozen: run under stop_gradient (the reference loads no-grad traces).
+        # The frozen forward takes the fused Pallas attention on TPU backends
+        # (scores stay in VMEM); the capture layer automatically falls back to
+        # the plain path since its raw attention must be surfaced.
+        from ..ops.pallas.attention import attention_backend
+
         mid_feat, captured = self.backbone.encode_until(
-            img, end_layer=self.encode_layer + 1, deterministic=True, capture=capture
+            img,
+            end_layer=self.encode_layer + 1,
+            deterministic=True,
+            capture=capture,
+            fused_attention=attention_backend() != "xla",
         )
         mid_feat = jax.lax.stop_gradient(mid_feat)
         attn_raw = jax.lax.stop_gradient(captured[f"layers_{extract}.attn_raw"])
@@ -90,9 +99,15 @@ class IngredientBackbone(nn.Module):
         """Full-model logits with the (optionally) quantised mid feature — the
         reference's backbone_discretization/cls_header JIT path, used by the
         CB agreement evaluation (evaluation.py:198-216)."""
+        from ..ops.pallas.attention import attention_backend
+
         out = self(img, quantize=quantize)
         seq = jnp.concatenate([out["cls_token"], out["feat"]], axis=1)
-        return self.backbone.resume_from_layer(seq, self.encode_layer + 1)["pred"]
+        return self.backbone.resume_from_layer(
+            seq,
+            self.encode_layer + 1,
+            fused_attention=attention_backend() != "xla",
+        )["pred"]
 
 
 @dataclasses.dataclass(frozen=True)
