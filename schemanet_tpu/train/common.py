@@ -107,15 +107,29 @@ def make_optimizer(
     name = optimizer_cfg.get("name", "AdamW").lower()
     base_lr = float(optimizer_cfg.get("lr", 1e-3))
     weight_decay = float(optimizer_cfg.get("weight_decay", 0.0))
+    # optional low-memory moments for ImageNet-scale atlases ([1000,500,500]
+    # edges => 2 GB of fp32 Adam state and ~3 GB of optimizer HBM traffic per
+    # step, profiled at ~8% of the train step). Off by default — reference
+    # parity is fp32 AdamW. ``moment_dtype: bfloat16`` halves first-moment
+    # state/traffic (optax mu_dtype); ``factored: true`` switches to adafactor
+    # (rank-1 second moment), the standard large-model memory saver.
+    moment_dtype = optimizer_cfg.get("moment_dtype")
+    factored = bool(optimizer_cfg.get("factored", False))
 
     def make_one(lr_scale: float, wd: float) -> optax.GradientTransformation:
         def scaled(step):
             return schedule(step) * lr_scale
 
         if name == "adamw":
-            return optax.adamw(scaled, weight_decay=wd)
+            if factored:
+                return optax.adafactor(
+                    scaled,
+                    multiply_by_parameter_scale=False,
+                    weight_decay_rate=wd or None,
+                )
+            return optax.adamw(scaled, weight_decay=wd, mu_dtype=moment_dtype)
         if name == "adam":
-            return optax.adam(scaled)
+            return optax.adam(scaled, mu_dtype=moment_dtype)
         if name == "sgd":
             return optax.sgd(
                 scaled, momentum=optimizer_cfg.get("momentum", 0.9), nesterov=False
