@@ -28,19 +28,27 @@ def main():
     from schemanet_tpu.schema import build_predictor, get_loss_fn, weighted_total
     from schemanet_tpu.schema.atlas import project_atlas_params
 
+    # BENCH_SCALE=imagenet runs the reference's largest config (DeiT-Small,
+    # M=8000, K=1000, V_max=500, GNN 1024 — imagenet/schema_net/
+    # deit_small-l9-M_8000.yaml) with remat; default is the CIFAR-100 flagship.
+    scale = os.environ.get("BENCH_SCALE", "cifar100")
     # default operating point bs=512: the class-GNN + atlas optimizer work is
     # batch-independent, so larger batches amortise it (measured +22% img/s
     # over bs=256 in round 1)
-    batch_size = int(os.environ.get("BENCH_BATCH", 512))
-    num_classes = 100
-    num_codes = 1024
+    batch_size = int(os.environ.get("BENCH_BATCH", 64 if scale == "imagenet" else 512))
+    num_classes = 1000 if scale == "imagenet" else 100
+    num_codes = 8000 if scale == "imagenet" else 1024
     steps = int(os.environ.get("BENCH_STEPS", 50))
     dtype = jnp.bfloat16 if os.environ.get("BENCH_DTYPE", "bf16") == "bf16" else jnp.float32
 
+    embed_dim = 384 if scale == "imagenet" else 192
     model_cfg = {
         "name": "vit",
         "transformer": dict(
-            embed_dim=192, num_encoder_layers=12, num_heads=3, dim_feedforward=768,
+            embed_dim=embed_dim,
+            num_encoder_layers=12,
+            num_heads=embed_dim // 64,
+            dim_feedforward=4 * embed_dim,
             dropout=None, activation="gelu", final_norm=True, norm_eps=1e-6,
         ),
         "patch_embed": dict(img_size=224, patch_size=16, image_channels=3),
@@ -48,9 +56,14 @@ def main():
     }
     schema_cfg = {
         "matcher": {"similarity": "inner_product"},
-        "gnn": {"embed_dim": 256, "num_layers": 2, "activation": "relu"},
+        "gnn": {
+            "embed_dim": 1024 if scale == "imagenet" else 256,
+            "num_layers": 2,
+            "activation": "relu",
+        },
         "ir_atlas": dict(
-            class_max_vertices=None, dist_pow=2, feat_h=14, feat_w=14,
+            class_max_vertices=500 if scale == "imagenet" else None,
+            dist_pow=2, feat_h=14, feat_w=14,
             clamp_vertex_attn=-1.0, clamp_edge_attn=-1.0,
             remove_self_loop=False, prune_node_threshold=0.001,
             graph_precision="default",
@@ -58,7 +71,7 @@ def main():
     }
     predictor = build_predictor(
         model_cfg, schema_cfg, num_classes=num_classes, num_codes=num_codes,
-        code_dim=192, encode_layer=9, dtype=dtype,
+        code_dim=embed_dim, encode_layer=9, dtype=dtype,
     )
 
     # initialise on the host CPU backend: param init needs no TPU and skipping
@@ -97,6 +110,17 @@ def main():
             out = predictor.apply({"params": full, "buffers": buffers}, image)
             return weighted_total(loss_fn(out, {"label": label_}), weights)
 
+        if os.environ.get("BENCH_SCALE") == "imagenet":
+            # remat: the [1000,500,500] atlas + Adam moments leave no HBM room
+            # for saved activations at this scale (trainer cfg `remat: true`).
+            # BENCH_REMAT=dots keeps matmul outputs (recomputes elementwise
+            # only) — faster when it fits.
+            policy = (
+                jax.checkpoint_policies.dots_saveable
+                if os.environ.get("BENCH_REMAT") == "dots"
+                else None
+            )
+            compute = jax.checkpoint(compute, policy=policy)
         loss, grads = jax.value_and_grad(compute)(train_params)
         updates, opt_state2 = tx.update(grads, opt_state, train_params)
         return optax.apply_updates(train_params, updates), opt_state2, loss

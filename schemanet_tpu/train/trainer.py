@@ -47,7 +47,11 @@ class TrainerConfig:
     val_interval: int = 500
     batch_size: int = 64
     clip_max_norm: Optional[float] = None
-    remat: bool = False  # jax.checkpoint the loss: trade recompute for memory
+    # jax.checkpoint the loss: trade recompute for memory. True/"full"
+    # recomputes everything; "dots" keeps matmul outputs and recomputes only
+    # elementwise ops — at ImageNet scale (bs=128) measured 254.6 -> 224.4
+    # ms/step over full remat while still fitting the 16 GB chip.
+    remat: Any = False
     optimizer: Dict[str, Any] = dataclasses.field(default_factory=dict)
     lr_schedule: Dict[str, Any] = dataclasses.field(default_factory=dict)
     param_groups: Optional[Sequence[Dict[str, Any]]] = None
@@ -192,7 +196,12 @@ class Trainer:
             return weighted_total(loss_dict, self.loss_weights), (loss_dict, new_buffers)
 
         if self.cfg.remat:
-            compute_loss = jax.checkpoint(compute_loss)
+            policy = (
+                jax.checkpoint_policies.dots_saveable
+                if self.cfg.remat == "dots"
+                else None
+            )
+            compute_loss = jax.checkpoint(compute_loss, policy=policy)
         (total, (loss_dict, new_buffers)), grads = jax.value_and_grad(
             compute_loss, has_aux=True
         )(params)
