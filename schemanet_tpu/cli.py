@@ -58,6 +58,8 @@ def build_parser() -> argparse.ArgumentParser:
     p_extract.add_argument("--batch-size", type=int, default=64)
     p_extract.add_argument("--save-features", action="store_true", help="also dump saved_features.h5")
     p_extract.add_argument("--saved-features-fp", type=str, default=None)
+    p_extract.add_argument("--dtype", type=str, default="float32",
+                           help="backbone compute dtype (bfloat16 for speed; fp32 = reference parity)")
 
     p_export = sub.add_parser("export", help="stage 2: export frozen bundle")
     _common_flags(p_export)
@@ -122,7 +124,9 @@ def _load_backbone_for_stage(cfg, args):
         from .data.datasets import get_dataset
 
         n_classes = get_dataset(data_cfg, "train").num_classes
-    model = get_model(model_cfg, n_classes)
+    from .train.workers import resolve_dtype
+
+    model = get_model(model_cfg, n_classes, dtype=resolve_dtype(getattr(args, "dtype", None)))
     dummy = jnp.zeros((1, model.img_size, model.img_size, model.image_channels), jnp.float32)
     params = model.init(jax.random.PRNGKey(0), dummy)["params"]
     ckpt_path = os.path.abspath(os.path.expanduser(args.ckpt))

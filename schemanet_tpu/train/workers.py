@@ -60,6 +60,19 @@ def _make_mesh(args: LaunchArgs):
     return make_mesh(data=args.mesh_data, model=args.mesh_model)
 
 
+def resolve_dtype(name) -> Any:
+    """``training.dtype`` YAML knob -> compute dtype (params stay fp32).
+
+    bf16 is the TPU-native mixed precision (no GradScaler machinery, unlike
+    the reference's --use-amp fp16 path, worker.py:84-88); fp32 is the
+    default for exact-parity runs."""
+    if name in (None, "float32", "fp32", "f32"):
+        return jnp.float32
+    if name in ("bfloat16", "bf16"):
+        return jnp.bfloat16
+    raise KeyError(f"unknown dtype {name!r}")
+
+
 def _split_cfg(global_cfg: Dict[str, Any], args: LaunchArgs):
     data_cfg = resolve_subconfig(global_cfg["dataset"], args.base_dir)
     train_cfg = dict(global_cfg.get("training", {}))
@@ -78,7 +91,7 @@ def backbone_worker(global_cfg: Dict[str, Any], args: LaunchArgs) -> Dict[str, A
     loss_cfg = global_cfg["loss"]
 
     train_loader, val_loader, n_classes = build_loaders(data_cfg, train_cfg, val_cfg, args.seed)
-    model = get_model(model_cfg, n_classes)
+    model = get_model(model_cfg, n_classes, dtype=resolve_dtype(train_cfg.get("dtype")))
 
     dummy = jnp.zeros(
         (1, model.img_size, model.img_size, model.image_channels), jnp.float32
@@ -170,6 +183,7 @@ def schema_net_worker(global_cfg: Dict[str, Any], args: LaunchArgs) -> Dict[str,
         code_dim=bundle.codebook.shape[1],
         encode_layer=bundle.encode_layer,
         uniform_range=uniform_range,
+        dtype=resolve_dtype(train_cfg.get("dtype")),
     )
     dummy = jnp.zeros((1, bundle.img_size, bundle.img_size, 3), jnp.float32)
     variables = predictor.init(jax.random.PRNGKey(args.seed), dummy, method="init_full")
@@ -266,7 +280,7 @@ def eval_worker(global_cfg: Dict[str, Any], args: LaunchArgs) -> Dict[str, Any]:
     model_cfg = global_cfg["model"]
     if isinstance(model_cfg, str):
         model_cfg = resolve_subconfig(model_cfg, args.base_dir).get("model", model_cfg)
-    model = get_model(model_cfg, n_classes)
+    model = get_model(model_cfg, n_classes, dtype=resolve_dtype(val_cfg.get("dtype")))
     dummy = jnp.zeros((1, model.img_size, model.img_size, model.image_channels), jnp.float32)
     params = model.init(jax.random.PRNGKey(0), dummy)["params"]
     if args.resume:
@@ -306,6 +320,10 @@ def _assemble_schema_predictor(global_cfg, args, n_classes):
         code_dim=bundle.codebook.shape[1],
         encode_layer=bundle.encode_layer,
         uniform_range=uniform_range,
+        dtype=resolve_dtype(
+            (global_cfg.get("validation") or {}).get("dtype")
+            or (global_cfg.get("training") or {}).get("dtype")
+        ),
     )
     dummy = jnp.zeros((1, bundle.img_size, bundle.img_size, 3), jnp.float32)
     variables = predictor.init(jax.random.PRNGKey(0), dummy, method="init_full")

@@ -218,3 +218,37 @@ def test_low_memory_moment_options():
     ]
     updates_f, _ = tx_f.update(grads, state_f, params)
     assert float(updates_f["a"]["w"][0, 0]) < 0
+
+
+def test_worker_dtype_knob(tmp_path):
+    # training.dtype selects the compute dtype of the built model (params fp32)
+    from schemanet_tpu.train.workers import WORKER_REGISTRY, LaunchArgs, resolve_dtype
+
+    assert resolve_dtype("bfloat16") == jnp.bfloat16
+    assert resolve_dtype(None) == jnp.float32
+
+    cfg = {
+        "dataset": {"name": "synthetic", "root": "", "train": {"split": "train"},
+                    "val": {"split": "val"}, "resize": 16, "num_classes": 2,
+                    "num_samples": 16, "image_size": 16},
+        "training": {"optimizer": {"name": "AdamW", "lr": 1e-3},
+                     "lr_schedule": {"name": "constant"}, "train_epochs": 1,
+                     "print_interval": 100, "val_interval": 1000,
+                     "batch_size": 8, "num_workers": 0, "dtype": "bfloat16"},
+        "validation": {"batch_size": 8, "num_workers": 0},
+        "model": {"name": "vit",
+                  "transformer": {"embed_dim": 16, "num_encoder_layers": 1,
+                                  "num_heads": 2, "dim_feedforward": 32,
+                                  "dropout": None, "activation": "gelu",
+                                  "final_norm": True, "norm_eps": 1e-6},
+                  "patch_embed": {"img_size": 16, "patch_size": 8,
+                                  "image_channels": 3},
+                  "pos_encoding": {"name": "learnable"}},
+        "loss": {"name": "ce_loss", "weight_dict": {"cls": 1.0}},
+    }
+    out = WORKER_REGISTRY.get("backbone_worker")(
+        cfg, LaunchArgs(seed=0, log_dir=str(tmp_path / "bf16")))
+    assert out["model"].dtype == jnp.bfloat16
+    # params remain fp32 master copies
+    leaf = jax.tree_util.tree_leaves(out["trainer"].state.params)[0]
+    assert leaf.dtype == jnp.float32
