@@ -33,6 +33,7 @@ from typing import Optional
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 
 @jax.custom_vjp
@@ -68,6 +69,57 @@ def _sym_conv_bwd(res, g):
 
 
 _sym_conv.defvjp(_sym_conv_fwd, _sym_conv_bwd)
+
+
+# one-hot-matmul embedding backward pays rows*M*D FLOPs to avoid a scatter;
+# measured crossover on v5e: M=1025/D=256 (CIFAR scale, ~2.6e10) wins +3.9%
+# end-to-end, M=8001/D=1024 (ImageNet scale, >=4.1e11) loses -8% vs scatter
+_EMBED_ONEHOT_MAX_FLOPS = 1e11
+
+
+@jax.custom_vjp
+def _embed_lookup(table: jnp.ndarray, ids: jnp.ndarray) -> jnp.ndarray:
+    """``table[ids]`` whose backward is a one-hot MXU contraction (when cheap).
+
+    Autodiff of ``jnp.take`` emits a scatter-add into the [M+1, D] table;
+    XLA serialises TPU scatters (profiled at ~3% of the CIFAR-scale step).
+    The gradient is exactly ``one_hot(ids)^T @ g`` — a single matmul in the
+    cotangent dtype (0/1 one-hot operands are exact in bf16; accumulation is
+    fp32 via preferred_element_type, matching what the scatter-add did).
+    Shapes are static at trace time, so when the matmul would cost more than
+    the scatter (large vocabularies — see _EMBED_ONEHOT_MAX_FLOPS) the
+    backward keeps the scatter-add."""
+    return jnp.take(table, ids, axis=0)
+
+
+def _embed_lookup_fwd(table, ids):
+    return jnp.take(table, ids, axis=0), (table.shape[0], ids)
+
+
+def _embed_lookup_bwd(res, g):
+    num_rows, ids = res
+    rows = int(np.prod(ids.shape))
+    if rows * num_rows * g.shape[-1] > _EMBED_ONEHOT_MAX_FLOPS:
+        gt = jnp.zeros((num_rows, g.shape[-1]), g.dtype).at[ids.reshape(-1)].add(
+            g.reshape(-1, g.shape[-1])
+        )
+        return gt, np.zeros(ids.shape, dtype=jax.dtypes.float0)
+    oh = jax.nn.one_hot(ids.reshape(-1), num_rows, dtype=g.dtype)
+    # fp32 cotangents only occur in parity/golden runs — keep those exact
+    # (TPU fp32 dots otherwise default to bf16 passes); bf16 training uses
+    # the full-rate MXU path with fp32 accumulation
+    precision = jax.lax.Precision.HIGHEST if g.dtype == jnp.float32 else None
+    gt = jax.lax.dot_general(
+        oh,
+        g.reshape(-1, g.shape[-1]),
+        (((0,), (0,)), ((), ())),
+        precision=precision,
+        preferred_element_type=jnp.float32,
+    )
+    return gt.astype(g.dtype), np.zeros(ids.shape, dtype=jax.dtypes.float0)
+
+
+_embed_lookup.defvjp(_embed_lookup_fwd, _embed_lookup_bwd)
 
 
 class GraphConv(nn.Module):
@@ -154,7 +206,9 @@ class GNN(nn.Module):
             return table.at[self.num_codes].set(0.0)
 
         table = self.param("embedding", embed_init, (self.num_codes + 1, self.embed_dim))
-        feat = jnp.take(table, ingredients, axis=0).astype(self.dtype)
+        # cast the table (not the gathered rows) so the backward contraction
+        # runs in the compute dtype; in fp32 parity mode this is a no-op
+        feat = _embed_lookup(table.astype(self.dtype), ingredients)
         for i in range(self.num_layers):
             feat = GNNLayer(
                 self.embed_dim,

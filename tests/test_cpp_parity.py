@@ -21,8 +21,11 @@ BS, L, V = 3, 20, 12
 @pytest.fixture(scope="module")
 def cpp_ext():
     try:
+        import os
+
         from torch.utils import cpp_extension
 
+        os.makedirs("/tmp/refext", exist_ok=True)
         srcs = [
             "/root/reference/cpp_extension/src/" + f
             for f in (
