@@ -43,7 +43,9 @@ class EncoderLayer(nn.Module):
         attn_mask: Optional[jnp.ndarray] = None,
         deterministic: bool = True,
         fused: bool = False,
+        fused_ln: Optional[bool] = None,  # LN fusion is probe-independent
     ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
+        fused_ln = fused if fused_ln is None else fused_ln
         attention = MultiHeadSelfAttention(
             self.num_heads, self.embed_dim, self.dropout, dtype=self.dtype, name="attention"
         )
@@ -63,20 +65,67 @@ class EncoderLayer(nn.Module):
                 return nn.Dropout(self.dropout, deterministic=False)(x)
             return x
 
+        def apply_norm(ln, x):
+            # fused (frozen-forward) path: one Pallas pass instead of XLA's
+            # compute-bound convert+reduce fusions (~1.6 ms each at d=192;
+            # see ops/pallas/layernorm.py). Params stay owned by the
+            # nn.LayerNorm module (same ckpt tree); forward-only like the
+            # flash-attention path.
+            if fused_ln and not self.is_initializing():
+                from ..ops.pallas.layernorm import fused_layernorm, layernorm_backend
+
+                backend = layernorm_backend()
+                if backend in ("pallas", "interpret"):
+                    _ = ln(x[:1, :1])  # materialise params only (DCE'd)
+                    p = ln.variables["params"]
+                    return fused_layernorm(
+                        x, p["scale"], p["bias"], self.norm_eps,
+                        interpret=backend == "interpret",
+                    )
+            return ln(x)
+
+        def apply_mlp(x):
+            # fused FFN: fc1 -> act -> fc2 with the [.., dim_feedforward]
+            # hidden state never leaving VMEM (ops/pallas/mlp.py) — the
+            # hidden-state HBM round trip profiled at ~22% of the SchemaNet
+            # step. Same forward-only contract and backend gating as the
+            # fused LayerNorm; skipped when dropout is live.
+            if (
+                fused_ln
+                and not self.is_initializing()
+                and not (self.dropout and not deterministic)
+            ):
+                from ..ops.pallas.mlp import fused_mlp, mlp_backend
+
+                backend = mlp_backend()
+                if backend in ("pallas", "interpret"):
+                    _ = mlp(x[:1, :1], deterministic)  # materialise params only
+                    p = mlp.variables["params"]
+                    return fused_mlp(
+                        x,
+                        p["linear1"]["kernel"], p["linear1"]["bias"],
+                        p["linear2"]["kernel"], p["linear2"]["bias"],
+                        activation=self.activation,
+                        interpret=backend == "interpret",
+                    )
+            return mlp(x, deterministic)
+
         probes: Dict[str, jnp.ndarray] = {}
         if self.pre_norm:
-            x, attn, attn_raw = attention(norm1(seq), attn_mask, deterministic, fused)
+            x, attn, attn_raw = attention(
+                apply_norm(norm1, seq), attn_mask, deterministic, fused
+            )
             probes["resid1"] = seq + x
             seq = seq + dropped(x)
-            x = mlp(norm2(seq), deterministic)
+            x = apply_mlp(apply_norm(norm2, seq))
             probes["resid2"] = seq + x
             seq = seq + dropped(x)
         else:
             x, attn, attn_raw = attention(seq, attn_mask, deterministic, fused)
-            x = norm1(x)
+            x = apply_norm(norm1, x)
             probes["resid1"] = seq + x
             seq = seq + dropped(x)
-            x = norm2(mlp(seq, deterministic))
+            x = apply_norm(norm2, apply_mlp(seq))
             probes["resid2"] = seq + x
             seq = seq + dropped(x)
         if attn is not None:  # unavailable on the fused (Pallas) path
@@ -147,7 +196,9 @@ class Transformer(nn.Module):
             fused_i = fused_attention and not any(
                 c in capture for c in (f"layers_{i}.attn", f"layers_{i}.attn_raw")
             )
-            seq, probes = self.layers[i](seq, attn_mask, deterministic, fused_i)
+            seq, probes = self.layers[i](
+                seq, attn_mask, deterministic, fused_i, fused_attention
+            )
             for kind, value in probes.items():
                 probe_name = f"layers_{i}.{kind}"
                 if probe_name in capture:

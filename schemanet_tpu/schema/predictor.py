@@ -24,6 +24,16 @@ from .atlas import AtlasConfig, SchemaAtlas
 from .gnn import Matcher
 
 
+def _any_fused_backend() -> bool:
+    """True when any fused Pallas kernel (attention / LN / FFN) is enabled —
+    each fusion site re-checks its own backend, so this only grants
+    permission for the frozen forward to fuse."""
+    from ..ops.pallas.attention import attention_backend
+    from ..ops.pallas.layernorm import layernorm_backend
+
+    return attention_backend() != "xla" or layernorm_backend() != "xla"
+
+
 class IngredientBackbone(nn.Module):
     """Frozen backbone + VQ producing the ingredient interface
     (ingredient_model_wrapper.py:43-69):
@@ -58,17 +68,17 @@ class IngredientBackbone(nn.Module):
         extract = self.extract_layer if self.extract_layer is not None else self.encode_layer
         capture = (f"layers_{extract}.attn_raw",)
         # frozen: run under stop_gradient (the reference loads no-grad traces).
-        # The frozen forward takes the fused Pallas attention on TPU backends
-        # (scores stay in VMEM); the capture layer automatically falls back to
-        # the plain path since its raw attention must be surfaced.
-        from ..ops.pallas.attention import attention_backend
-
+        # The frozen forward takes the fused Pallas kernels on TPU backends
+        # (attention scores / LN stats / FFN hidden state stay in VMEM); each
+        # fusion site re-checks its own backend, and the capture layer's
+        # attention automatically falls back to the plain path since its raw
+        # attention must be surfaced.
         mid_feat, captured = self.backbone.encode_until(
             img,
             end_layer=self.encode_layer + 1,
             deterministic=True,
             capture=capture,
-            fused_attention=attention_backend() != "xla",
+            fused_attention=_any_fused_backend(),
         )
         mid_feat = jax.lax.stop_gradient(mid_feat)
         attn_raw = jax.lax.stop_gradient(captured[f"layers_{extract}.attn_raw"])
@@ -99,14 +109,12 @@ class IngredientBackbone(nn.Module):
         """Full-model logits with the (optionally) quantised mid feature — the
         reference's backbone_discretization/cls_header JIT path, used by the
         CB agreement evaluation (evaluation.py:198-216)."""
-        from ..ops.pallas.attention import attention_backend
-
         out = self(img, quantize=quantize)
         seq = jnp.concatenate([out["cls_token"], out["feat"]], axis=1)
         return self.backbone.resume_from_layer(
             seq,
             self.encode_layer + 1,
-            fused_attention=attention_backend() != "xla",
+            fused_attention=_any_fused_backend(),
         )["pred"]
 
 

@@ -1,0 +1,62 @@
+"""Fused Pallas LayerNorm vs flax.linen.LayerNorm (interpret mode on CPU)."""
+
+import numpy as np
+import pytest
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from schemanet_tpu.ops.pallas.layernorm import fused_layernorm, layernorm_backend
+
+
+@pytest.mark.parametrize(
+    "bs,n,d,dtype",
+    [(4, 197, 192, jnp.float32), (8, 197, 192, jnp.bfloat16), (1, 5, 64, jnp.bfloat16)],
+)
+def test_fused_layernorm_matches_flax(rng, bs, n, d, dtype):
+    x = jnp.asarray(rng.normal(size=(bs, n, d)) * 3 + 1).astype(dtype)
+    scale = jnp.asarray(rng.normal(size=(d,)).astype(np.float32))
+    bias = jnp.asarray(rng.normal(size=(d,)).astype(np.float32))
+    ln = nn.LayerNorm(epsilon=1e-6, dtype=dtype)
+    want = ln.apply({"params": {"scale": scale, "bias": bias}}, x)
+    got = fused_layernorm(x, scale, bias, 1e-6, interpret=True)
+    assert got.dtype == want.dtype
+    np.testing.assert_allclose(
+        np.asarray(got, np.float32),
+        np.asarray(want, np.float32),
+        rtol=1e-4,
+        atol=1e-4 if dtype == jnp.float32 else 5e-2,
+    )
+
+
+def test_predictor_fused_ln_matches_xla(rng, monkeypatch):
+    # end-to-end: the frozen forward with the fused LN (interpret mode)
+    # produces the same logits as the plain path; note the capture layer also
+    # fuses its LayerNorms (LN fusion is probe-independent, unlike attention)
+    from tests.test_predictor import make_predictor
+
+    predictor = make_predictor()
+    x = jnp.asarray(rng.normal(size=(2, 32, 32, 3)).astype(np.float32))
+    variables = predictor.init(jax.random.PRNGKey(0), x, method="init_full")
+
+    monkeypatch.setenv("SCHEMANET_LN_BACKEND", "xla")
+    plain = predictor.apply(variables, x, True)
+    monkeypatch.setenv("SCHEMANET_LN_BACKEND", "interpret")
+    fused = predictor.apply(variables, x, True)
+
+    np.testing.assert_allclose(
+        np.asarray(fused["pred"]), np.asarray(plain["pred"]), rtol=1e-4, atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(fused["attn_cls"]), np.asarray(plain["attn_cls"]), rtol=1e-4, atol=1e-5
+    )
+
+
+def test_backend_resolution(monkeypatch):
+    monkeypatch.setenv("SCHEMANET_LN_BACKEND", "pallas")
+    assert layernorm_backend() == "pallas"
+    monkeypatch.setenv("SCHEMANET_LN_BACKEND", "auto")
+    assert layernorm_backend() == "xla"  # CPU test env
+    monkeypatch.delenv("SCHEMANET_LN_BACKEND")
+    assert layernorm_backend() == "xla"

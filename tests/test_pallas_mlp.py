@@ -1,0 +1,62 @@
+"""Fused Pallas FFN vs the flax MLP module (interpret mode on CPU)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from schemanet_tpu.models.layers import MLP
+from schemanet_tpu.ops.pallas.mlp import fused_mlp, mlp_backend
+
+
+@pytest.mark.parametrize(
+    "bs,n,d,f,dtype,act",
+    [
+        (4, 197, 192, 768, jnp.bfloat16, "gelu"),
+        (2, 17, 64, 128, jnp.float32, "relu"),
+        (1, 5, 32, 64, jnp.bfloat16, "gelu"),
+    ],
+)
+def test_fused_mlp_matches_flax(rng, bs, n, d, f, dtype, act):
+    x = jnp.asarray(rng.normal(size=(bs, n, d))).astype(dtype)
+    mlp = MLP(embed_dim=d, dim_feedforward=f, activation=act, dtype=dtype)
+    variables = mlp.init(jax.random.PRNGKey(0), x)
+    want = mlp.apply(variables, x)
+    p = variables["params"]
+    got = fused_mlp(
+        x,
+        p["linear1"]["kernel"], p["linear1"]["bias"],
+        p["linear2"]["kernel"], p["linear2"]["bias"],
+        activation=act, interpret=True,
+    )
+    assert got.dtype == want.dtype
+    np.testing.assert_allclose(
+        np.asarray(got, np.float32),
+        np.asarray(want, np.float32),
+        rtol=1e-4,
+        atol=1e-5 if dtype == jnp.float32 else 0.1,
+    )
+
+
+def test_predictor_fused_mlp_matches_xla(rng, monkeypatch):
+    # end-to-end: frozen forward with the fused FFN (interpret mode) matches
+    # the plain path (SCHEMANET_LN_BACKEND gates both LN and MLP fusion)
+    from tests.test_predictor import make_predictor
+
+    predictor = make_predictor()
+    x = jnp.asarray(rng.normal(size=(2, 32, 32, 3)).astype(np.float32))
+    variables = predictor.init(jax.random.PRNGKey(0), x, method="init_full")
+
+    monkeypatch.setenv("SCHEMANET_LN_BACKEND", "xla")
+    plain = predictor.apply(variables, x, True)
+    monkeypatch.setenv("SCHEMANET_LN_BACKEND", "interpret")
+    fused = predictor.apply(variables, x, True)
+
+    np.testing.assert_allclose(
+        np.asarray(fused["pred"]), np.asarray(plain["pred"]), rtol=1e-4, atol=1e-5
+    )
+
+
+def test_backend_alias():
+    assert mlp_backend() in ("xla", "pallas", "interpret")
