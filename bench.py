@@ -36,7 +36,9 @@ def main():
     # batch-independent (~16 ms/step at CIFAR scale), so larger batches
     # amortise it — measured 10,357 img/s at bs=512 vs 11,276 at bs=1024 with
     # the fused frozen-forward kernels (round 2)
-    batch_size = int(os.environ.get("BENCH_BATCH", 64 if scale == "imagenet" else 1024))
+    # imagenet default bs=256 + remat=dots mirrors the shipped ImageNet
+    # configs' best measured point (1,042 img/s; see PERFORMANCE.md)
+    batch_size = int(os.environ.get("BENCH_BATCH", 256 if scale == "imagenet" else 1024))
     num_classes = 1000 if scale == "imagenet" else 100
     num_codes = 8000 if scale == "imagenet" else 1024
     steps = int(os.environ.get("BENCH_STEPS", 50))
@@ -114,11 +116,12 @@ def main():
         if os.environ.get("BENCH_SCALE") == "imagenet":
             # remat: the [1000,500,500] atlas + Adam moments leave no HBM room
             # for saved activations at this scale (trainer cfg `remat: true`).
-            # BENCH_REMAT=dots keeps matmul outputs (recomputes elementwise
-            # only) — faster when it fits.
+            # BENCH_REMAT=dots (default, like the shipped ImageNet configs)
+            # keeps matmul outputs and recomputes elementwise only — faster
+            # when it fits; BENCH_REMAT=full forces full rematerialisation.
             policy = (
                 jax.checkpoint_policies.dots_saveable
-                if os.environ.get("BENCH_REMAT") == "dots"
+                if os.environ.get("BENCH_REMAT", "dots") == "dots"
                 else None
             )
             compute = jax.checkpoint(compute, policy=policy)
