@@ -36,9 +36,11 @@ def main():
     # batch-independent (~16 ms/step at CIFAR scale), so larger batches
     # amortise it — measured 10,357 img/s at bs=512 vs 11,276 at bs=1024 with
     # the fused frozen-forward kernels (round 2)
-    # imagenet default bs=256 + remat=dots mirrors the shipped ImageNet
-    # configs' best measured point (1,042 img/s; see PERFORMANCE.md)
-    batch_size = int(os.environ.get("BENCH_BATCH", 256 if scale == "imagenet" else 1024))
+    # the class-GNN + atlas optimizer work is batch-independent and dominates
+    # at ImageNet scale (73% of the bs=256 step), so the operating point is
+    # the largest batch that fits: bs=1024 + remat=dots = 2,338 img/s
+    # (1,042 at bs=256; bs=2048 OOMs 17.5G/15.75G HBM). See PERFORMANCE.md.
+    batch_size = int(os.environ.get("BENCH_BATCH", 1024))
     num_classes = 1000 if scale == "imagenet" else 100
     num_codes = 8000 if scale == "imagenet" else 1024
     steps = int(os.environ.get("BENCH_STEPS", 50))
