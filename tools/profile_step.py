@@ -53,6 +53,9 @@ def analyse(trace_dir: str, top: int = 20) -> None:
     pbs = glob.glob(os.path.join(trace_dir, "**", "*.xplane.pb"), recursive=True)
     if not pbs:
         sys.exit(f"no xplane.pb under {trace_dir}")
+    # a trace dir accumulates one session subdir per capture; mixing sessions
+    # makes xprof return None — analyse only the newest capture
+    pbs = [max(pbs, key=os.path.getmtime)]
     data, _ = xspace_to_tool_data(pbs, "hlo_stats", {})
     d = json.loads(data)
     cols = [c["id"] for c in d["cols"]]
