@@ -31,26 +31,30 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def _mhsa_kernel(qkv_ref, out_ref, *, num_heads, head_dim, scale):
-    # one batch item per program: the full [n, 3*H*d] qkv row block sits in
-    # VMEM; heads are a static python loop with static lane slices (the TPU
-    # block-shape rule only constrains the last two dims, so the natural
-    # [.., (3, H, d)] lane layout of the fused projection is kept — no
-    # moveaxis/slice copies ever materialise in HBM)
-    x = qkv_ref[0]  # [n, 3*H*d]
+    # a block of batch items per program: each item's [n, 3*H*d] qkv rows sit
+    # in VMEM; items and heads are static python loops with static lane
+    # slices (the TPU block-shape rule only constrains the last two dims, so
+    # the natural [.., (3, H, d)] lane layout of the fused projection is
+    # kept — no moveaxis/slice copies ever materialise in HBM). Multiple
+    # items per program amortise the per-program DMA setup, which at one
+    # item per program measured ~1.5 us x bs — the kernel's dominant cost
+    # at bs=1024.
     H, d = num_heads, head_dim
-    outs = []
-    for h in range(H):
-        q = x[:, h * d : (h + 1) * d] * x.dtype.type(scale)
-        k = x[:, (H + h) * d : (H + h + 1) * d]
-        v = x[:, (2 * H + h) * d : (2 * H + h + 1) * d]
-        # [n, n] scores; contract the feature axis of both (no transpose)
-        scores = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        )
-        attn = jax.nn.softmax(scores, axis=-1).astype(v.dtype)
-        out = jnp.dot(attn, v, preferred_element_type=jnp.float32)
-        outs.append(out.astype(out_ref.dtype))
-    out_ref[0] = jnp.concatenate(outs, axis=-1)
+    for b in range(qkv_ref.shape[0]):
+        x = qkv_ref[b]  # [n, 3*H*d]
+        outs = []
+        for h in range(H):
+            q = x[:, h * d : (h + 1) * d] * x.dtype.type(scale)
+            k = x[:, (H + h) * d : (H + h + 1) * d]
+            v = x[:, (2 * H + h) * d : (2 * H + h + 1) * d]
+            # [n, n] scores; contract the feature axis of both (no transpose)
+            scores = jax.lax.dot_general(
+                q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+            )
+            attn = jax.nn.softmax(scores, axis=-1).astype(v.dtype)
+            out = jnp.dot(attn, v, preferred_element_type=jnp.float32)
+            outs.append(out.astype(out_ref.dtype))
+        out_ref[b] = jnp.concatenate(outs, axis=-1)
 
 
 @functools.partial(jax.jit, static_argnames=("num_heads", "interpret"))
@@ -67,17 +71,20 @@ def fused_mhsa(
     bs, n, three_hd = qkv.shape
     d = three_hd // (3 * num_heads)
     scale = 1.0 / (d**0.5)
+    # items per program: keep the qkv block ~2 MB (scoped-vmem budget with
+    # double buffering); a partial trailing block is clipped by Pallas
+    blk = max(1, min(8, 2_000_000 // (n * three_hd * qkv.dtype.itemsize)))
 
     return pl.pallas_call(
         functools.partial(
             _mhsa_kernel, num_heads=num_heads, head_dim=d, scale=scale
         ),
-        grid=(bs,),
+        grid=(pl.cdiv(bs, blk),),
         in_specs=[
-            pl.BlockSpec((1, n, three_hd), lambda b: (b, 0, 0), memory_space=pltpu.VMEM)
+            pl.BlockSpec((blk, n, three_hd), lambda b: (b, 0, 0), memory_space=pltpu.VMEM)
         ],
         out_specs=pl.BlockSpec(
-            (1, n, num_heads * d), lambda b: (b, 0, 0), memory_space=pltpu.VMEM
+            (blk, n, num_heads * d), lambda b: (b, 0, 0), memory_space=pltpu.VMEM
         ),
         out_shape=jax.ShapeDtypeStruct((bs, n, num_heads * d), qkv.dtype),
         # scheduler hint + keeps XLA cost_analysis (bench MFU) honest about
