@@ -115,17 +115,15 @@ def main():
             out = predictor.apply({"params": full, "buffers": buffers}, image)
             return weighted_total(loss_fn(out, {"label": label_}), weights)
 
-        if os.environ.get("BENCH_SCALE") == "imagenet":
+        remat = os.environ.get("BENCH_REMAT", "dots")
+        if os.environ.get("BENCH_SCALE") == "imagenet" and remat != "none":
             # remat: the [1000,500,500] atlas + Adam moments leave no HBM room
             # for saved activations at this scale (trainer cfg `remat: true`).
             # BENCH_REMAT=dots (default, like the shipped ImageNet configs)
             # keeps matmul outputs and recomputes elementwise only — faster
-            # when it fits; BENCH_REMAT=full forces full rematerialisation.
-            policy = (
-                jax.checkpoint_policies.dots_saveable
-                if os.environ.get("BENCH_REMAT", "dots") == "dots"
-                else None
-            )
+            # when it fits; BENCH_REMAT=full forces full rematerialisation;
+            # BENCH_REMAT=none disables remat (fits only at smaller batch).
+            policy = jax.checkpoint_policies.dots_saveable if remat == "dots" else None
             compute = jax.checkpoint(compute, policy=policy)
         loss, grads = jax.value_and_grad(compute)(train_params)
         updates, opt_state2 = tx.update(grads, opt_state, train_params)
