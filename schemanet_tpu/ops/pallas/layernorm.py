@@ -82,10 +82,13 @@ def layernorm_backend() -> str:
     integration end to end), mirroring ``attention_backend``.
     """
     mode = os.environ.get("SCHEMANET_LN_BACKEND", "auto")
-    if mode == "auto":
-        try:
-            platform = jax.devices()[0].platform
-        except Exception:
-            platform = "cpu"
-        return "pallas" if platform in ("tpu", "axon") else "xla"
-    return mode
+    return auto_backend() if mode == "auto" else mode
+
+
+def auto_backend() -> str:
+    """Platform default: fused kernel on TPU-like backends, XLA elsewhere."""
+    try:
+        platform = jax.devices()[0].platform
+    except Exception:
+        platform = "cpu"
+    return "pallas" if platform in ("tpu", "axon") else "xla"

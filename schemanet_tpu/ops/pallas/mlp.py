@@ -27,7 +27,23 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .layernorm import layernorm_backend as mlp_backend  # same resolution rules
+from .layernorm import auto_backend, layernorm_backend
+
+
+def mlp_backend() -> str:
+    """'pallas' | 'interpret' | 'xla' — resolution of SCHEMANET_MLP_BACKEND.
+
+    Unset defaults to the LN backend (SCHEMANET_LN_BACKEND), preserving the
+    historical coupling; set it explicitly to toggle the fused FFN
+    independently of the fused LayerNorm (e.g. SCHEMANET_LN_BACKEND=xla
+    SCHEMANET_MLP_BACKEND=pallas keeps the FFN fusion while debugging LN).
+    """
+    import os
+
+    mode = os.environ.get("SCHEMANET_MLP_BACKEND")
+    if mode is None:
+        return layernorm_backend()
+    return auto_backend() if mode == "auto" else mode
 
 
 def _erf(x):

@@ -100,10 +100,15 @@ def _embed_lookup_bwd(res, g):
     num_rows, ids = res
     rows = int(np.prod(ids.shape))
     if rows * num_rows * g.shape[-1] > _EMBED_ONEHOT_MAX_FLOPS:
-        gt = jnp.zeros((num_rows, g.shape[-1]), g.dtype).at[ids.reshape(-1)].add(
-            g.reshape(-1, g.shape[-1])
+        # accumulate the scatter-add in fp32 like the one-hot branch: hot codes
+        # receive thousands of duplicate-id addends per batch at ImageNet scale
+        # and bf16 accumulation would systematically swamp the small ones
+        gt = (
+            jnp.zeros((num_rows, g.shape[-1]), jnp.float32)
+            .at[ids.reshape(-1)]
+            .add(g.reshape(-1, g.shape[-1]).astype(jnp.float32))
         )
-        return gt, np.zeros(ids.shape, dtype=jax.dtypes.float0)
+        return gt.astype(g.dtype), np.zeros(ids.shape, dtype=jax.dtypes.float0)
     oh = jax.nn.one_hot(ids.reshape(-1), num_rows, dtype=g.dtype)
     # fp32 cotangents only occur in parity/golden runs — keep those exact
     # (TPU fp32 dots otherwise default to bf16 passes); bf16 training uses
@@ -219,10 +224,14 @@ class GNN(nn.Module):
             )(edges, feat, feat_mask)
         feat = feat * nodes[..., None].astype(feat.dtype)
         # mean over the padded vertex axis; with pool_size given, divide by the
-        # batch-max ragged size like the reference (gnn.py:96) — padded slots
-        # contribute 0 to the sum, so this is exact
-        denom = feat.shape[1] if pool_size is None else pool_size.astype(feat.dtype)
-        feat = feat.sum(axis=1) / denom
+        # ragged size like the reference (gnn.py:96) — padded slots contribute
+        # 0 to the sum, so this is exact. pool_size may be a scalar (batch-max,
+        # training parity) or [bs] (per-sample, serving bs=1 semantics).
+        if pool_size is None:
+            denom = jnp.asarray(feat.shape[1], feat.dtype)
+        else:
+            denom = pool_size.astype(feat.dtype)
+        feat = feat.sum(axis=1) / (denom[..., None] if denom.ndim else denom)
         feat = nn.Dense(
             self.embed_dim,
             dtype=self.dtype,
@@ -264,6 +273,10 @@ class Matcher(nn.Module):
     # divide instance pooling by the batch-max live slot count (exact reference
     # semantics, match.py:46 + gnn.py:96) instead of the static slot count
     ref_pooling: bool = True
+    # divide by each sample's OWN live slot count instead of the batch max —
+    # the reference's bs=1 semantics (batch-max == own count), which makes the
+    # logits batch-invariant for serving. Only meaningful with ref_pooling.
+    per_sample_pooling: bool = False
     dtype: jnp.dtype = jnp.float32
 
     def setup(self):
@@ -279,7 +292,10 @@ class Matcher(nn.Module):
     def __call__(self, instance: dict, atlas: dict) -> jnp.ndarray:
         pool_size = None
         if self.ref_pooling and instance.get("num_slots") is not None:
-            pool_size = jnp.maximum(jnp.max(instance["num_slots"]), 1)
+            if self.per_sample_pooling:
+                pool_size = jnp.maximum(instance["num_slots"], 1)  # [bs]
+            else:
+                pool_size = jnp.maximum(jnp.max(instance["num_slots"]), 1)
         feat_instance = self.gnn(
             nodes=instance["instance_vertices"],
             edges=instance["instance_edges"],

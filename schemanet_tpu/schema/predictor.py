@@ -128,6 +128,9 @@ class SchemaNetConfig:
     similarity: str = "inner_product"
     # exact reference pooling denominator (batch-max live slots); see gnn.py
     ref_pooling: bool = True
+    # per-sample pooling denominator (reference bs=1 semantics) — batch
+    # invariant; used by serving (serve.py)
+    per_sample_pooling: bool = False
 
 
 class SchemaNetPredictor(nn.Module):
@@ -164,6 +167,7 @@ class SchemaNetPredictor(nn.Module):
             identity_proj=self.cfg.gnn_identity_proj,
             activation=self.cfg.gnn_activation,
             ref_pooling=self.cfg.ref_pooling,
+            per_sample_pooling=self.cfg.per_sample_pooling,
             dtype=self.dtype,
             name="matcher",
         )

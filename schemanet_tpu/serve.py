@@ -37,11 +37,15 @@ class ServePredictor:
         # divides by the *batch-max* live-slot count (gnn.py:96 + match.py:46),
         # so logits depend on which images share a batch — correct for training
         # parity, wrong for a deterministic f(image) serving contract. Serve
-        # with the static slot-count denominator instead: per sample this is a
-        # uniform positive rescale of all K logits, so argmax/top-k are
-        # identical to reference semantics while microbatching becomes exact.
+        # with each sample's OWN live-slot count as the denominator: that is
+        # exactly the reference's bs=1 semantics (batch max == own count), so
+        # serve logits match a reference single-image forward bit-for-bit while
+        # microbatching becomes exact. (A static-denominator rescale would NOT
+        # preserve argmax — the pooled vector passes through the GNN's fc
+        # Dense, and fc(s/d) + b is not a scalar multiple of fc(s/d') + b once
+        # the trainable bias is nonzero.)
         serve_module = self.predictor.clone(
-            cfg=dataclasses.replace(self.predictor.cfg, ref_pooling=False)
+            cfg=dataclasses.replace(self.predictor.cfg, per_sample_pooling=True)
         )
 
         @jax.jit

@@ -93,6 +93,29 @@ def _param_labels(params: Any, groups: Sequence[Dict[str, Any]], drop_remain: bo
     return jax.tree_util.tree_map_with_path(label_for, params)
 
 
+def _scheduled_decay(wd: float, sched: Callable) -> optax.GradientTransformation:
+    """Decoupled weight decay matching optax.adamw's: update -= lr_t * wd * p.
+
+    Chained AFTER a transform whose output already includes the learning rate
+    (adafactor), so the decay term must be schedule-scaled here rather than by
+    a downstream scale_by_learning_rate."""
+
+    def init_fn(params):
+        del params
+        return optax.ScaleByScheduleState(count=jnp.zeros([], jnp.int32))
+
+    def update_fn(updates, state, params):
+        if params is None:
+            raise ValueError("scheduled decay requires params")
+        lr = sched(state.count)
+        updates = jax.tree_util.tree_map(
+            lambda u, p: u - lr * wd * p.astype(u.dtype), updates, params
+        )
+        return updates, optax.ScaleByScheduleState(count=state.count + 1)
+
+    return optax.GradientTransformation(init_fn, update_fn)
+
+
 def make_optimizer(
     params: Any,
     optimizer_cfg: Dict[str, Any],
@@ -122,11 +145,15 @@ def make_optimizer(
 
         if name == "adamw":
             if factored:
-                return optax.adafactor(
-                    scaled,
-                    multiply_by_parameter_scale=False,
-                    weight_decay_rate=wd or None,
-                )
+                # keep AdamW's decoupled, schedule-scaled weight decay
+                # (update -= lr_t * wd * p) instead of adafactor's
+                # weight_decay_rate, which is a fixed per-step multiplicative
+                # decay NOT scaled by the lr schedule — so toggling
+                # ``factored`` does not reinterpret ``weight_decay``
+                tx = optax.adafactor(scaled, multiply_by_parameter_scale=False)
+                if wd:
+                    tx = optax.chain(tx, _scheduled_decay(wd, scaled))
+                return tx
             return optax.adamw(scaled, weight_decay=wd, mu_dtype=moment_dtype)
         if name == "adam":
             return optax.adam(scaled, mu_dtype=moment_dtype)

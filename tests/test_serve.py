@@ -29,17 +29,30 @@ def test_predict_microbatching(server, rng):
     np.testing.assert_allclose(logits[3], one[0], rtol=1e-4, atol=1e-5)
 
 
-def test_serve_argmax_matches_reference_pooling(server, rng):
-    # serve uses the static slot-count pooling denominator (batch-invariant);
-    # that is a uniform positive per-sample rescale of the reference's
-    # batch-max denominator, so predicted labels must agree exactly
+def test_serve_matches_reference_bs1_with_nonzero_fc_bias(rng):
+    # serve pools with each sample's OWN live-slot count — exactly the
+    # reference's bs=1 semantics (batch max == own count). Verified with a
+    # NONZERO GNN fc bias: the pooled vector passes through the fc Dense, so a
+    # static-denominator rescale would NOT preserve logits/argmax (fc(s/d)+b is
+    # not a scalar multiple of fc(s/d')+b), but per-sample pooling is exact.
+    import flax
+
+    predictor = make_predictor()
+    x = jnp.zeros((2, 32, 32, 3), jnp.float32)
+    variables = predictor.init(jax.random.PRNGKey(0), x, method="init_full")
+    params = flax.core.unfreeze(variables["params"])
+    fc = params["matcher"]["gnn"]["fc"]
+    fc["bias"] = jax.random.normal(jax.random.PRNGKey(7), fc["bias"].shape)
+    server = ServePredictor(predictor, params, variables["buffers"], microbatch=4)
+
     images = rng.normal(size=(6, 32, 32, 3)).astype(np.float32)
-    ref_logits = server.predictor.apply(
-        {"params": server.params, "buffers": server.buffers}, jnp.asarray(images)
-    )["pred"]
-    np.testing.assert_array_equal(
-        server.predict(images).argmax(-1), np.asarray(ref_logits).argmax(-1)
-    )
+    got = server.predict(images)
+    for i in range(len(images)):
+        ref_bs1 = server.predictor.apply(
+            {"params": params, "buffers": variables["buffers"]},
+            jnp.asarray(images[i : i + 1]),
+        )["pred"]
+        np.testing.assert_allclose(got[i], np.asarray(ref_bs1)[0], rtol=1e-4, atol=1e-5)
 
 
 def test_explain_attribution(server, rng):

@@ -220,6 +220,37 @@ def test_low_memory_moment_options():
     assert float(updates_f["a"]["w"][0, 0]) < 0
 
 
+def test_factored_weight_decay_is_schedule_scaled():
+    # `factored: true` must keep AdamW's decoupled, schedule-scaled decay
+    # (update -= lr_t * wd * p), not adafactor's fixed per-step
+    # weight_decay_rate: with a zero gradient and zero-ish adafactor update,
+    # the decay term alone should scale with the schedule value.
+    params = {"w": jnp.full((4, 4), 2.0)}
+    grads = {"w": jnp.zeros((4, 4))}
+    wd = 0.1
+
+    def run(lr):
+        tx, _ = make_optimizer(
+            params,
+            {"name": "AdamW", "lr": 1e-3, "weight_decay": wd, "factored": True},
+            schedule=lambda s: jnp.asarray(lr),
+        )
+        updates, _ = tx.update(grads, tx.init(params), params)
+        return float(updates["w"][0, 0])
+
+    u_small, u_big = run(1e-4), run(1e-2)
+    np.testing.assert_allclose(u_small, -1e-4 * wd * 2.0, rtol=1e-5)
+    np.testing.assert_allclose(u_big, -1e-2 * wd * 2.0, rtol=1e-5)
+    # and an explicit weight_decay of 0.0 means genuinely no decay
+    tx0, _ = make_optimizer(
+        params,
+        {"name": "AdamW", "lr": 1e-3, "weight_decay": 0.0, "factored": True},
+        schedule=lambda s: jnp.asarray(1e-2),
+    )
+    upd0, _ = tx0.update(grads, tx0.init(params), params)
+    np.testing.assert_allclose(float(upd0["w"][0, 0]), 0.0, atol=1e-12)
+
+
 def test_worker_dtype_knob(tmp_path):
     # training.dtype selects the compute dtype of the built model (params fp32)
     from schemanet_tpu.train.workers import WORKER_REGISTRY, LaunchArgs, resolve_dtype
