@@ -262,7 +262,15 @@ def cmd_init(args):
         encode_layer=bundle.encode_layer,
     )
     ib_vars = {"params": {"backbone": bundle.backbone_params, "vocabulary": bundle.codebook}}
-    atlas_init = init_atlas(lambda img: ib.apply(ib_vars, img), loader, atlas_cfg)
+    atlas_init = init_atlas(
+        lambda img: ib.apply(ib_vars, img),
+        loader,
+        atlas_cfg,
+        accumulate_compat=bool(
+            schema_cfg.get("ir_atlas", {}).get("init_accumulate_compat", False)
+        ),
+        compat_seed=args.seed,
+    )
     save_atlas_init(args.save_fp, atlas_init["params"], atlas_init["class_ingredients"])
     print(f"saved initial IR-Atlas to {args.save_fp}")
     return 0

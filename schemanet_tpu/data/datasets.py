@@ -200,14 +200,26 @@ def build_mnist(root: str, split: str = "train", **kwargs) -> ArrayDataset:
 
 
 def load_class_list(path: str) -> List[str]:
-    """Class names from a txt (one per line) or csv (first column) file —
-    the reference ships such lists in config/datasets/*.csv|txt."""
+    """Class names from a txt (one per line) or csv file.
+
+    Two csv shapes are accepted (see configs/datasets/README.md):
+    * plain one-column (class name per line);
+    * the reference's pandas-style ``config/datasets/*_all_classes.csv``
+      (header row ``,classes`` then ``<index>,<class name>`` rows) — the
+      class name lives in the LAST column there, not the first.
+    """
     classes: List[str] = []
     with open(os.path.expanduser(path)) as f:
-        for line in f:
-            line = line.strip()
-            if line:
-                classes.append(line.split(",")[0].strip())
+        lines = [ln.strip() for ln in f if ln.strip()]
+    for i, line in enumerate(lines):
+        cols = [c.strip() for c in line.split(",")]
+        if len(cols) == 1:
+            classes.append(cols[0])
+            continue
+        if i == 0 and cols[-1].lower() in ("classes", "class", "name"):
+            continue  # pandas header row (",classes")
+        # pandas-style "<row index>,<name>": take the name column
+        classes.append(cols[-1] if (not cols[0] or cols[0].isdigit()) else cols[0])
     return classes
 
 
@@ -343,8 +355,17 @@ def build_caltech101(
 
 @DATASET_REGISTRY.register("mini_imagenet")
 def build_mini_imagenet(
-    root: str, split: str = "train", classes: Optional[Sequence[str]] = None, **kwargs
+    root: str,
+    split: str = "train",
+    classes: Optional[Sequence[str]] = None,
+    classes_file: Optional[str] = None,
+    **kwargs,
 ):
+    """mini-ImageNet as an ImageFolder tree restricted to a 100-wnid class
+    list (``classes_file``: txt or reference-style csv — see
+    configs/datasets/examples/)."""
+    if classes is None and classes_file:
+        classes = load_class_list(classes_file)
     sub = "train" if split == "train" else "val"
     path = os.path.join(root, sub)
     if not os.path.isdir(path):

@@ -10,7 +10,12 @@ Intentional cleanup vs the reference: its pass 2 accumulates onto the atlas's
 random trunc-normal initialisation rather than zeros (init_schema_net.py:33
 += into the freshly-initialised edge_weights), leaving a residual
 init/n_tracked term (~0.2% of the mean edge weight at CIFAR-100 class counts)
-in the final atlas. We accumulate from zeros — the intended average.
+in the final atlas. We accumulate from zeros — the intended average. For
+strict-parity comparisons, ``accumulate_compat=True`` (YAML:
+``ir_atlas.init_accumulate_compat``) reproduces the reference behaviour,
+seeding the accumulator with the trunc-normal init (or with an explicitly
+supplied ``initial_edge_weights`` tensor, e.g. the reference's own init, for
+bit-exact cross-checks).
 """
 
 from __future__ import annotations
@@ -33,8 +38,17 @@ def init_atlas(
     loader,
     atlas_cfg: AtlasConfig,
     attr_init: Tuple[jnp.ndarray, jnp.ndarray] = None,
+    accumulate_compat: bool = False,
+    initial_edge_weights: jnp.ndarray = None,
+    compat_seed: int = 0,
 ) -> Dict[str, Any]:
-    """Returns {'params': atlas params, 'class_ingredients': [K, V_max]}."""
+    """Returns {'params': atlas params, 'class_ingredients': [K, V_max]}.
+
+    ``accumulate_compat`` reproduces the reference's pass-2 accumulation onto
+    the random edge init (scripts/init_schema_net.py:19-40): the edge
+    accumulator starts at ``initial_edge_weights`` (defaults to the same
+    trunc-normal(0.5, 1/6) init the atlas parameter would get, drawn with
+    ``compat_seed``) instead of zeros."""
     c = atlas_cfg
     k, v_max, m = c.num_classes, c.v_max, c.num_vertices
     if attr_init is None:
@@ -87,7 +101,17 @@ def init_atlas(
         edges = edges * valid[:, None, None]
         return acc_e.at[labels].add(edges)
 
-    acc_e = jnp.zeros((k, v_max, v_max), jnp.float32)
+    if accumulate_compat:
+        if initial_edge_weights is None:
+            from ..schema.atlas import _trunc_normal_unit
+
+            initial_edge_weights = _trunc_normal_unit(
+                jax.random.PRNGKey(compat_seed), (k, v_max, v_max)
+            )
+        acc_e = jnp.asarray(initial_edge_weights, jnp.float32)
+        assert acc_e.shape == (k, v_max, v_max), acc_e.shape
+    else:
+        acc_e = jnp.zeros((k, v_max, v_max), jnp.float32)
     loader.set_epoch(1)
     for batch in loader:
         valid = jnp.asarray(batch.get("valid", np.ones(len(batch["label"]), np.float32)))

@@ -238,15 +238,35 @@ class CheckpointManager:
     """iter-N checkpoints + best copy, like the reference's ckpt dir layout
     (``ckpt/iter-<N>.pth`` / ``best.pth``, worker.py:235-242)."""
 
-    def __init__(self, ckpt_dir: str):
+    def __init__(self, ckpt_dir: str, max_keep: Optional[int] = 3):
+        """``max_keep``: retain only the newest N ``iter-*`` checkpoints
+        (``best`` and non-iter tags are never pruned); ``None`` keeps all.
+        The reference keeps every iter-N.pth forever (worker.py:221-242) —
+        at ImageNet scale each save is multi-GB (atlas + Adam moments), so
+        unbounded retention is a disk leak, not a feature."""
         import orbax.checkpoint as ocp
 
         self.ckpt_dir = os.path.abspath(ckpt_dir)
+        self.max_keep = max_keep
         os.makedirs(self.ckpt_dir, exist_ok=True)
         self._ckptr = ocp.StandardCheckpointer()
 
     def _path(self, tag: str) -> str:
         return os.path.join(self.ckpt_dir, tag)
+
+    def _prune(self):
+        if self.max_keep is None:
+            return
+        iters = []
+        for name in os.listdir(self.ckpt_dir):
+            if name.startswith("iter-") and os.path.isdir(self._path(name)):
+                try:
+                    iters.append((int(name.split("-", 1)[1]), name))
+                except ValueError:
+                    continue
+        iters.sort()
+        for _, name in iters[: max(0, len(iters) - self.max_keep)]:
+            shutil.rmtree(self._path(name), ignore_errors=True)
 
     def save(self, tag: str, tree: Any, is_best: bool = False):
         if jax.process_index() != 0:
@@ -261,6 +281,7 @@ class CheckpointManager:
             if os.path.exists(best):
                 shutil.rmtree(best)
             shutil.copytree(path, best)
+        self._prune()
 
     def restore(self, tag_or_path: str, template: Any = None) -> Any:
         """Restore a checkpoint. With ``template=None`` the full saved tree is

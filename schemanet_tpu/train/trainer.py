@@ -57,6 +57,9 @@ class TrainerConfig:
     param_groups: Optional[Sequence[Dict[str, Any]]] = None
     drop_remain: bool = False
     frozen_patterns: Sequence[str] = ()
+    # retain only the newest N iter-* checkpoints (best is never pruned);
+    # None/0 keeps all — the reference kept every iter-N.pth forever
+    max_keep: Optional[int] = 3
 
     @classmethod
     def from_cfg(cls, train_cfg: Dict[str, Any], **over):
@@ -162,7 +165,11 @@ class Trainer:
         self.start_epoch = 0
         self.best_acc = 0.0
         self.best_iter = 0
-        self.ckpt = CheckpointManager(ckpt_dir) if ckpt_dir else None
+        self.ckpt = (
+            CheckpointManager(ckpt_dir, max_keep=cfg.max_keep or None)
+            if ckpt_dir
+            else None
+        )
         if resume:
             self.resume(resume)
 

@@ -186,3 +186,42 @@ def test_imagenet_subset_single_scan(tmp_path, monkeypatch):
     )
     assert len(listdir_calls) == 2  # explicit classes -> no root listing
     assert two.num_classes == 2 and len(two) == 2
+
+
+# ---------------------------------------------------------------------------
+# Class-list file formats (configs/datasets/README.md + examples/)
+# ---------------------------------------------------------------------------
+
+
+def test_load_class_list_plain_txt(tmp_path):
+    from schemanet_tpu.data.datasets import load_class_list
+
+    fp = tmp_path / "classes.txt"
+    fp.write_text("n01440764\nn01773157\n\nn02051845\n")
+    assert load_class_list(str(fp)) == ["n01440764", "n01773157", "n02051845"]
+
+
+def test_load_class_list_reference_pandas_csv():
+    # the shipped example files use the reference's pandas-style csv shape
+    # (header ",classes", rows "<index>,<name>") — names come from the LAST
+    # column, header skipped
+    from schemanet_tpu.data.datasets import load_class_list
+
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    ex = os.path.join(here, "configs", "datasets", "examples")
+    caltech = load_class_list(os.path.join(ex, "caltech_101_classes.example.csv"))
+    assert caltech == ["accordion", "airplanes", "anchor", "ant", "barrel"]
+    mini = load_class_list(os.path.join(ex, "mini_imagenet_classes.example.csv"))
+    assert mini[0] == "n01532829" and len(mini) == 5
+
+
+def test_mini_imagenet_classes_file(tmp_path):
+    # classes_file restricts AND orders the class set (row order = label id)
+    for cls in ("n01532829", "n01558993", "n09999999"):
+        _write_img(str(tmp_path / "train" / cls / "x.jpg"))
+    fp = tmp_path / "classes.csv"
+    fp.write_text(",classes\n0,n01558993\n1,n01532829\n")
+    build = DATASET_REGISTRY.get("mini_imagenet")
+    ds = build(str(tmp_path), split="train", classes_file=str(fp))
+    assert ds.classes == ["n01558993", "n01532829"]
+    assert ds.num_classes == 2

@@ -251,6 +251,30 @@ def test_factored_weight_decay_is_schedule_scaled():
     np.testing.assert_allclose(float(upd0["w"][0, 0]), 0.0, atol=1e-12)
 
 
+def test_checkpoint_retention_keeps_best(tmp_path):
+    # max_keep prunes the oldest iter-* checkpoints but never `best`
+    from schemanet_tpu.train.common import CheckpointManager
+
+    mgr = CheckpointManager(str(tmp_path), max_keep=2)
+    tree = {"w": jnp.ones((2,))}
+    mgr.save("iter-100", tree, is_best=True)
+    mgr.save("iter-200", tree)
+    mgr.save("iter-300", tree)
+    mgr.save("iter-1000", tree)  # numeric sort: 1000 > 300 despite lexicographic
+    assert mgr.exists("best")
+    assert not mgr.exists("iter-100")
+    assert not mgr.exists("iter-200")
+    assert mgr.exists("iter-300") and mgr.exists("iter-1000")
+    # best remains restorable even though its source iter dir was pruned
+    restored = mgr.restore("best")
+    np.testing.assert_array_equal(np.asarray(restored["w"]), np.ones((2,)))
+    # max_keep=None keeps everything
+    mgr_all = CheckpointManager(str(tmp_path / "all"), max_keep=None)
+    for i in range(4):
+        mgr_all.save(f"iter-{i}", tree)
+    assert all(mgr_all.exists(f"iter-{i}") for i in range(4))
+
+
 def test_worker_dtype_knob(tmp_path):
     # training.dtype selects the compute dtype of the built model (params fp32)
     from schemanet_tpu.train.workers import WORKER_REGISTRY, LaunchArgs, resolve_dtype
