@@ -243,7 +243,11 @@ def device_prefetch(
 
     def put(batch):
         if sharding is not None:
-            return {k: jax.device_put(v, sharding) for k, v in batch.items()}
+            # multi-process safe: each host contributes its local loader shard
+            # to the global batch (single-process this is plain device_put)
+            from ..parallel.mesh import put_local_batch
+
+            return {k: put_local_batch(v, sharding) for k, v in batch.items()}
         return {k: jax.device_put(v) for k, v in batch.items()}
 
     def producer():

@@ -93,9 +93,32 @@ def param_shardings(
     return jax.tree_util.tree_map_with_path(spec_for, params)
 
 
+def put_global(x: Any, sharding: NamedSharding):
+    """Place a host-side GLOBAL value under a (possibly multi-process)
+    sharding. Single-process this is plain ``device_put``; multi-process,
+    every process passes the same global value and only its addressable
+    shards are materialised (``make_array_from_callback``)."""
+    if jax.process_count() == 1 or sharding.is_fully_addressable:
+        return jax.device_put(x, sharding)
+    arr = np.asarray(x)
+    return jax.make_array_from_callback(arr.shape, sharding, lambda idx: arr[idx])
+
+
+def put_local_batch(x: Any, sharding: NamedSharding):
+    """Assemble a global batch from per-process loader shards: each process
+    passes its LOCAL slice (data/loader.py shards by process_index); the
+    global batch axis is the concatenation over processes. Already-placed
+    arrays (e.g. from ``device_prefetch``) pass through untouched."""
+    if isinstance(x, jax.Array) and x.sharding == sharding:
+        return x
+    if jax.process_count() == 1:
+        return jax.device_put(x, sharding)
+    return jax.make_array_from_process_local_data(sharding, np.asarray(x))
+
+
 def shard_params(mesh: Mesh, params: Any, rules: Sequence = DEFAULT_PARAM_RULES) -> Any:
     shardings = param_shardings(mesh, params, rules)
-    return jax.tree_util.tree_map(jax.device_put, params, shardings)
+    return jax.tree_util.tree_map(put_global, params, shardings)
 
 
 def local_batch_slice(global_batch: int) -> slice:

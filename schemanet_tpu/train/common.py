@@ -269,27 +269,50 @@ class CheckpointManager:
             shutil.rmtree(self._path(name), ignore_errors=True)
 
     def save(self, tag: str, tree: Any, is_best: bool = False):
-        if jax.process_index() != 0:
-            return
+        # Multi-process: Orbax saves are COLLECTIVE — every process must call
+        # save() (it syncs internally; arrays sharded across processes are
+        # written shard-wise), while the filesystem bookkeeping (clear, best
+        # copy, prune) stays rank-0-only, matching the reference's rank-0
+        # checkpoint gating (worker.py:221-242).
+        multi = jax.process_count() > 1
         path = self._path(tag)
-        if os.path.exists(path):
+        if jax.process_index() == 0 and os.path.exists(path):
             shutil.rmtree(path)
+        if multi:
+            from jax.experimental import multihost_utils
+
+            multihost_utils.sync_global_devices(f"ckpt_clear:{tag}")
         self._ckptr.save(path, tree)
         self._ckptr.wait_until_finished()
-        if is_best:
-            best = self._path("best")
-            if os.path.exists(best):
-                shutil.rmtree(best)
-            shutil.copytree(path, best)
-        self._prune()
+        if jax.process_index() == 0:
+            if is_best:
+                best = self._path("best")
+                if os.path.exists(best):
+                    shutil.rmtree(best)
+                shutil.copytree(path, best)
+            self._prune()
+        if multi:
+            from jax.experimental import multihost_utils
+
+            multihost_utils.sync_global_devices(f"ckpt_done:{tag}")
 
     def restore(self, tag_or_path: str, template: Any = None) -> Any:
         """Restore a checkpoint. With ``template=None`` the full saved tree is
-        returned as stored (no structure needed) — use this when only part of
-        the state (e.g. params without opt_state) is wanted."""
+        returned as host numpy arrays — topology-free, so a checkpoint written
+        by an N-process/pod run restores on a single eval/serving host (Orbax
+        pins saved device ids otherwise). With a template, leaves follow the
+        template's shardings."""
         path = tag_or_path if os.path.isabs(tag_or_path) else self._path(tag_or_path)
         if template is None:
-            return self._ckptr.restore(path)
+            import numpy as np
+            import orbax.checkpoint as ocp
+
+            pt = ocp.PyTreeCheckpointer()
+            meta = pt.metadata(path).item_metadata.tree
+            restore_args = jax.tree_util.tree_map(
+                lambda m: ocp.RestoreArgs(restore_type=np.ndarray), meta
+            )
+            return pt.restore(path, restore_args=restore_args)
         return self._ckptr.restore(path, template)
 
     def exists(self, tag: str) -> bool:

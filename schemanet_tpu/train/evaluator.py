@@ -16,6 +16,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..parallel.mesh import put_local_batch
 from ..schema.loss import weighted_total
 
 
@@ -60,7 +61,7 @@ class Evaluation:
         acc = None
         for batch in self.val_loader:
             if self.batch_sharding is not None:
-                batch = {k: jax.device_put(v, self.batch_sharding) for k, v in batch.items()}
+                batch = {k: put_local_batch(v, self.batch_sharding) for k, v in batch.items()}
             out = self._step(params, buffers, batch)
             n = out["n"]
             contrib = {
@@ -78,14 +79,27 @@ class Evaluation:
         loss_total = float(acc["loss"])
         counts = {k: float(acc["acc_counts"][k]) for k in self.top_k}
         loss_dict_tot = {k: float(v) for k, v in acc["loss_dict"].items()}
-        if jax.process_count() > 1:
+        if jax.process_count() > 1 and self.batch_sharding is None:
+            # batch_sharding set -> batches are global arrays and the jitted
+            # sums are already cross-process (no host reduction needed; an
+            # allgather+sum would double-count). Only the unsharded local
+            # path needs the host-side reduction — loss_dict totals included,
+            # else Val/Loss_dict would be process-local (key order is
+            # deterministic across processes: same eval program).
             from jax.experimental import multihost_utils
 
-            arr = np.asarray([n_total, loss_total] + [counts[k] for k in self.top_k])
+            dict_keys = sorted(loss_dict_tot)
+            arr = np.asarray(
+                [n_total, loss_total]
+                + [counts[k] for k in self.top_k]
+                + [loss_dict_tot[k] for k in dict_keys]
+            )
             arr = multihost_utils.process_allgather(arr).sum(axis=0)
             n_total, loss_total = arr[0], arr[1]
             for i, k in enumerate(self.top_k):
                 counts[k] = arr[2 + i]
+            for i, k in enumerate(dict_keys):
+                loss_dict_tot[k] = arr[2 + len(self.top_k) + i]
         n_total = max(n_total, 1.0)
         return {
             "loss": loss_total / n_total,
@@ -138,11 +152,21 @@ class IncEvaluation:
             acc = None
             for batch in loader:
                 if self.batch_sharding is not None:
-                    batch = {k: jax.device_put(v, self.batch_sharding) for k, v in batch.items()}
+                    batch = {k: put_local_batch(v, self.batch_sharding) for k, v in batch.items()}
                 out = self._step(params, buffers, batch, task)
                 acc = out if acc is None else jax.tree_util.tree_map(jnp.add, acc, out)
             acc = jax.device_get(acc) if acc is not None else {
                 "task_correct": 0.0, "all_correct": 0.0, "n": 0.0}
+            if jax.process_count() > 1 and self.batch_sharding is None:
+                # unsharded local path: host-side cross-process reduction
+                # (sharded batches are global arrays; jit sums cover it)
+                from jax.experimental import multihost_utils
+
+                arr = np.asarray(
+                    [acc["task_correct"], acc["all_correct"], acc["n"]], np.float64
+                )
+                arr = multihost_utils.process_allgather(arr).sum(axis=0)
+                acc = dict(zip(("task_correct", "all_correct", "n"), arr))
             t_correct = float(acc["task_correct"])
             a_correct = float(acc["all_correct"])
             n = float(acc["n"])
@@ -182,7 +206,7 @@ class CBEvaluation:
         acc = None
         for batch in self.val_loader:
             if self.batch_sharding is not None:
-                batch = {k: jax.device_put(v, self.batch_sharding) for k, v in batch.items()}
+                batch = {k: put_local_batch(v, self.batch_sharding) for k, v in batch.items()}
             out = self._step(params, buffers, batch)
             acc = out if acc is None else jax.tree_util.tree_map(jnp.add, acc, out)
         sums = (
@@ -190,7 +214,8 @@ class CBEvaluation:
             if acc is not None
             else {"acc": 0.0, "acc_model": 0.0, "acc_origin": 0.0, "n": 0.0}
         )
-        if jax.process_count() > 1:
+        if jax.process_count() > 1 and self.batch_sharding is None:
+            # sharded batches are global: jit sums already cross-process
             from jax.experimental import multihost_utils
 
             arr = np.asarray([sums[k] for k in ("acc", "acc_model", "acc_origin", "n")])

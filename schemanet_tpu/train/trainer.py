@@ -21,10 +21,9 @@ from typing import Any, Callable, Dict, Optional, Sequence
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 import optax
 
-from ..parallel.mesh import batch_sharding, make_mesh, shard_params
+from ..parallel.mesh import batch_sharding, make_mesh, put_local_batch, shard_params
 from ..schema.loss import weighted_total
 from ..utils.logging_utils import TBWriter
 from ..utils.metrics import tensor_dict_items
@@ -255,7 +254,7 @@ class Trainer:
     # -- host loop -----------------------------------------------------------
 
     def train_iter(self, batch) -> Dict[str, float]:
-        batch = {k: jax.device_put(v, self.batch_sharding) for k, v in batch.items()}
+        batch = {k: put_local_batch(v, self.batch_sharding) for k, v in batch.items()}
         self.state, metrics = self._train_step(self.state, batch)
         return metrics
 
@@ -266,7 +265,7 @@ class Trainer:
         acc = None
         self.val_loader.set_epoch(0)
         for batch in self.val_loader:
-            batch = {k: jax.device_put(v, self.batch_sharding) for k, v in batch.items()}
+            batch = {k: put_local_batch(v, self.batch_sharding) for k, v in batch.items()}
             out = self._eval_step(self.state, batch)
             n = out["n"]
             contrib = {
@@ -284,16 +283,13 @@ class Trainer:
         loss_total = float(acc["loss"])
         counts = {k: float(acc["acc_counts"][k]) for k in self.top_k}
         totals = {k: float(v) for k, v in acc["loss_dict"].items()}
-        if jax.process_count() > 1:
-            from jax.experimental import multihost_utils
-
-            arr = np.asarray(
-                [n_total, loss_total] + [counts[k] for k in self.top_k], np.float64
-            )
-            arr = multihost_utils.process_allgather(arr).sum(axis=0)
-            n_total, loss_total = arr[0], arr[1]
-            for i, k in enumerate(self.top_k):
-                counts[k] = arr[2 + i]
+        # NO host-side allgather here: batches are GLOBAL arrays (every host
+        # contributes its loader shard via put_local_batch), so the jitted
+        # jnp.sum reductions are already cross-process — XLA inserts the
+        # collective from the shardings. An extra process_allgather+sum would
+        # double-count every total by process_count. Validated by the
+        # 2-process integration test (tests/test_multihost.py) asserting
+        # multi-process val loss/acc == single-process.
         n_total = max(n_total, 1.0)
         return {
             "loss": loss_total / n_total,
