@@ -120,16 +120,35 @@ class MultiHeadSelfAttention(nn.Module):
             fused
             and not self.is_initializing()  # init may run on a host device
             and attn_mask is None
-            and not (self.dropout and not deterministic)
         ):
-            # Pallas flash path (frozen forward): scores never reach HBM and
+            # Pallas flash path: scores never reach HBM (forward OR backward —
+            # the kernel carries a recompute VJP, ops/pallas/attention.py) and
             # the qkv layout stays untouched; attn probes are unavailable —
-            # Transformer.run only requests this when nothing captures them
+            # Transformer.run only requests this when nothing captures them.
+            # Attention dropout runs in-kernel on the TPU hardware PRNG; the
+            # interpret backend has no real PRNG (stubbed), so dropout-live
+            # calls keep the XLA path there.
             from ..ops.pallas.attention import attention_backend, fused_mhsa
 
             backend = attention_backend()
-            if backend in ("pallas", "interpret"):
-                out = fused_mhsa(qkv, self.num_heads, interpret=backend == "interpret")
+            dropout_live = bool(self.dropout) and not deterministic
+            if backend == "pallas" or (backend == "interpret" and not dropout_live):
+                if dropout_live:
+                    import jax
+
+                    seed = jax.random.randint(
+                        self.make_rng("dropout"), (), 0, 2**31 - 1, dtype=jnp.int32
+                    )
+                    out = fused_mhsa(
+                        qkv,
+                        self.num_heads,
+                        dropout_p=float(self.dropout),
+                        seed=seed,
+                    )
+                else:
+                    out = fused_mhsa(
+                        qkv, self.num_heads, interpret=backend == "interpret"
+                    )
                 return dense_out(out), None, None
         qkv = qkv.reshape(bs, n, 3, self.num_heads, head_dim)
         q, k, v = (

@@ -88,25 +88,38 @@ class EncoderLayer(nn.Module):
             # fused FFN: fc1 -> act -> fc2 with the [.., dim_feedforward]
             # hidden state never leaving VMEM (ops/pallas/mlp.py) — the
             # hidden-state HBM round trip profiled at ~22% of the SchemaNet
-            # step. Same forward-only contract and backend gating as the
-            # fused LayerNorm; skipped when dropout is live.
-            if (
-                fused_ln
-                and not self.is_initializing()
-                and not (self.dropout and not deterministic)
-            ):
+            # step, and it re-materialises in the backward without the
+            # kernel's recompute VJP. FFN dropout runs in-kernel on the TPU
+            # hardware PRNG (interpret mode stubs the PRNG, so dropout-live
+            # calls keep the XLA path there).
+            if fused_ln and not self.is_initializing():
                 from ..ops.pallas.mlp import fused_mlp, mlp_backend
 
                 backend = mlp_backend()
-                if backend in ("pallas", "interpret"):
-                    _ = mlp(x[:1, :1], deterministic)  # materialise params only
+                dropout_live = bool(self.dropout) and not deterministic
+                if backend == "pallas" or (
+                    backend == "interpret" and not dropout_live
+                ):
+                    _ = mlp(x[:1, :1], True)  # materialise params only (DCE'd)
                     p = mlp.variables["params"]
+                    kwargs = {}
+                    if dropout_live:
+                        import jax
+
+                        kwargs = dict(
+                            dropout_p=float(self.dropout),
+                            seed=jax.random.randint(
+                                self.make_rng("dropout"), (), 0, 2**31 - 1,
+                                dtype=jnp.int32,
+                            ),
+                        )
                     return fused_mlp(
                         x,
                         p["linear1"]["kernel"], p["linear1"]["bias"],
                         p["linear2"]["kernel"], p["linear2"]["bias"],
                         activation=self.activation,
                         interpret=backend == "interpret",
+                        **kwargs,
                     )
             return mlp(x, deterministic)
 
@@ -184,8 +197,15 @@ class Transformer(nn.Module):
         capture: Tuple[str, ...] = (),
         start_layer: int = 0,
         end_layer: Optional[int] = None,
-        fused_attention: bool = False,
+        fused_attention: Optional[bool] = None,
     ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
+        if fused_attention is None:
+            # default-on where a fused backend is available: the kernels carry
+            # recompute VJPs, so TRAINING takes them too (stage-0 fine-tuning
+            # previously paid ~8% MFU on the XLA attention/LN/FFN path)
+            from ..ops.pallas import any_fused_backend
+
+            fused_attention = any_fused_backend()
         end_layer = self.num_encoder_layers if end_layer is None else end_layer
         captured: Dict[str, jnp.ndarray] = {}
         if not self.pre_norm and self.norm is not None and start_layer == 0:

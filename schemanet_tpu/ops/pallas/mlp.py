@@ -1,29 +1,41 @@
-"""Fused Pallas transformer FFN (forward-only, frozen-backbone path).
+"""Fused Pallas transformer FFN — forward AND backward.
 
 The XLA path materialises the [bs, n, dim_feedforward] hidden state in HBM
 twice per encoder layer (fc1 write + activation/fc2 read) — at DeiT-Tiny
 bs=512 that is a 155 MB tensor, and the fc1 fusions alone profiled at ~22% of
-the SchemaNet train step (HBM-bound). This kernel keeps the hidden state in
-VMEM: a block of batch items is reshaped to a [block*n, d] row matrix (large
+the SchemaNet train step (HBM-bound); in training the same tensor re-
+materialises for the backward pass. This kernel keeps the hidden state in
+VMEM: a block of batch items is reshaped to a [rows, d] row matrix (large
 enough to tile the MXU well), fc1 -> activation -> fc2 run back to back, and
 only the [.., d] output returns to HBM.
 
-Forward-only by design, exactly like ``ops/pallas/attention.py`` — it serves
-the *frozen* backbone forward; stage-0 backbone training keeps the
-differentiable XLA path.
+Differentiable via ``jax.custom_vjp``: the backward kernel recomputes the
+hidden state from the saved input block (so the only residuals are x and the
+weights, both already alive in the autodiff graph — the [.., f] hidden state
+is NEVER stored), computes dx in the same pass, and accumulates dw1/db1/dw2/
+db2 across the sequential grid in revisited fp32 output blocks.
+
+The reference's FFN dropout (between activation and fc2, layers/mlp.py:8-33)
+runs INSIDE the kernel with the TPU hardware PRNG, keyed on (seed, program):
+the backward regenerates the identical mask instead of storing it. When
+``dropout_p > 0`` forward and backward use the same row-block size so the
+(program, position) -> mask mapping matches.
 
 Numerics match ``flax.linen.Dense`` with the module compute dtype: operands
 are cast to the compute dtype outside the kernel, the MXU accumulates in fp32
 and rounds once to the operand dtype (the default dot semantics), bias-add and
-activation run in the compute dtype.
+activation run in the compute dtype. Gradient parity vs the XLA path is
+asserted by tests/test_pallas_mlp.py.
 """
 
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -76,7 +88,31 @@ def _kernel_activation(name):
     return get_activation(name)
 
 
-def _mlp_kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, out_ref, *, activation):
+def _activation_grad(name):
+    """d act / d x evaluated in fp32 (input in compute dtype)."""
+    if name == "gelu":
+        def dgelu(x):
+            xf = x.astype(jnp.float32)
+            cdf = 0.5 * (1.0 + _erf(xf * 0.7071067811865476))
+            pdf = jnp.exp(-0.5 * xf * xf) * 0.3989422804014327
+            return cdf + xf * pdf
+
+        return dgelu
+    if name == "relu":
+        return lambda x: (x > 0).astype(jnp.float32)
+    raise NotImplementedError(f"no in-kernel activation grad for {name!r}")
+
+
+def _ffn_keep_mask(shape, dropout_p):
+    bits = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)
+    hi = pltpu.bitcast(bits >> 8, jnp.int32)  # top 24 bits, sign-safe as i32
+    u = hi.astype(jnp.float32) * (1.0 / 16777216.0)
+    return u >= dropout_p
+
+
+def _mlp_kernel(
+    seed_ref, x_ref, w1_ref, b1_ref, w2_ref, b2_ref, out_ref, *, activation, dropout_p
+):
     # x_ref is a [rows, d] block (the caller flattens [bs, n, d] to rows —
     # a free XLA bitcast; an in-kernel (blk, n) -> blk*n merge would be an
     # unsupported Mosaic shape cast for sublane-unaligned n like 197).
@@ -86,35 +122,103 @@ def _mlp_kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, out_ref, *, activation):
     # (Mosaic also requires the fp32 accumulator for bf16 matmuls)
     h = jnp.dot(x, w1_ref[...], preferred_element_type=jnp.float32).astype(x.dtype)
     h = _kernel_activation(activation)(h + b1_ref[...])
+    if dropout_p:
+        pltpu.prng_seed(seed_ref[0], pl.program_id(0))
+        keep = _ffn_keep_mask(h.shape, dropout_p)
+        h = jnp.where(keep, h * (1.0 / (1.0 - dropout_p)), 0.0).astype(x.dtype)
     y = jnp.dot(h, w2_ref[...], preferred_element_type=jnp.float32).astype(x.dtype)
     out_ref[...] = (y + b2_ref[...]).astype(out_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("activation", "interpret"))
-def fused_mlp(
-    x: jnp.ndarray,  # [bs, n, d]
-    w1: jnp.ndarray,  # [d, f]
-    b1: jnp.ndarray,  # [f]
-    w2: jnp.ndarray,  # [f, d]
-    b2: jnp.ndarray,  # [d]
-    activation: str = "gelu",
-    interpret: bool = False,
-) -> jnp.ndarray:
-    """act(x @ w1 + b1) @ w2 + b2 with the hidden state resident in VMEM."""
-    bs, n, d = x.shape
-    f = w1.shape[1]
-    # all operands in the caller's compute dtype (flax Dense casts likewise)
-    w1, b1, w2, b2 = (a.astype(x.dtype) for a in (w1, b1, w2, b2))
+def _mlp_bwd_kernel(
+    seed_ref, x_ref, w1_ref, b1_ref, w2_ref, g_ref,
+    dx_ref, dw1_ref, db1_ref, dw2_ref, db2_ref,
+    *, activation, dropout_p, total_rows,
+):
+    """Recompute fc1/act (+ the identical dropout mask) from the input block,
+    then the full FFN VJP; weight/bias grads accumulate into revisited fp32
+    blocks (the TPU grid is sequential, so += is race-free)."""
+    @pl.when(pl.program_id(0) == 0)
+    def _init():
+        dw1_ref[...] = jnp.zeros_like(dw1_ref)
+        db1_ref[...] = jnp.zeros_like(db1_ref)
+        dw2_ref[...] = jnp.zeros_like(dw2_ref)
+        db2_ref[...] = jnp.zeros_like(db2_ref)
+
+    x = x_ref[...]  # [rows, d]
+    g = g_ref[...]  # [rows, d]
+    rows = x.shape[0]
+    if total_rows % rows:
+        # a partial trailing block reads undefined rows: outputs are clipped
+        # by Pallas, but the dw/db ACCUMULATIONS would ingest the garbage —
+        # zero both operands on out-of-range rows (NaN * 0 is NaN, so zeroing
+        # g alone is not enough)
+        row_id = pl.program_id(0) * rows + jax.lax.broadcasted_iota(
+            jnp.int32, (rows, 1), 0
+        )
+        in_range = row_id < total_rows
+        x = jnp.where(in_range, x, 0).astype(x.dtype)
+        g = jnp.where(in_range, g, 0).astype(g.dtype)
+    w1 = w1_ref[...]
+    w2 = w2_ref[...]
+    h_pre = jnp.dot(x, w1, preferred_element_type=jnp.float32).astype(x.dtype)
+    h_pre = h_pre + b1_ref[...]
+    a = _kernel_activation(activation)(h_pre)
+    if dropout_p:
+        pltpu.prng_seed(seed_ref[0], pl.program_id(0))
+        keep = _ffn_keep_mask(a.shape, dropout_p)
+        inv = 1.0 / (1.0 - dropout_p)
+        a_used = jnp.where(keep, a * inv, 0.0).astype(x.dtype)
+    else:
+        a_used = a
+    # fc2 VJP
+    dw2_ref[...] += jax.lax.dot_general(
+        a_used, g, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    db2_ref[...] += jnp.sum(g.astype(jnp.float32), axis=0, keepdims=True)
+    da_used = jax.lax.dot_general(
+        g, w2, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    if dropout_p:
+        da = jnp.where(keep, da_used * inv, 0.0)
+    else:
+        da = da_used
+    # activation VJP (fp32), then fc1 VJP
+    dh = (da * _activation_grad(activation)(h_pre)).astype(x.dtype)
+    dw1_ref[...] += jax.lax.dot_general(
+        x, dh, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    db1_ref[...] += jnp.sum(dh.astype(jnp.float32), axis=0, keepdims=True)
+    dx_ref[...] = jax.lax.dot_general(
+        dh, w1, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ).astype(dx_ref.dtype)
+
+
+def _fwd_rows(f: int, itemsize: int) -> int:
     # hidden block must respect the 16 MB scoped-vmem limit: keep the
     # [rows, f] hidden state around 2 MB and let double buffering breathe.
     # rows must be sublane-aligned (multiple of 8); a partial trailing block
     # (grid = ceil) is clipped by Pallas automatically.
-    rows = max(256, min(2048, (2_500_000 // (f * x.dtype.itemsize)) // 256 * 256))
+    return max(256, min(2048, (2_500_000 // (f * itemsize)) // 256 * 256))
+
+
+def _bwd_rows(f: int) -> int:
+    # backward holds two fp32 [rows, f] temps + two fp32 weight-grad blocks;
+    # stay well under the scoped-vmem limit
+    budget = int(os.environ.get("SCHEMANET_MLP_BWD_BUDGET", 1_200_000))
+    return max(256, min(1024, (budget // (f * 4)) // 256 * 256))
+
+
+def _mlp_call(x, seed, w1, b1, w2, b2, activation, dropout_p, interpret):
+    bs, n, d = x.shape
+    f = w1.shape[1]
+    rows = _bwd_rows(f) if dropout_p else _fwd_rows(f, x.dtype.itemsize)
     xr = x.reshape(bs * n, d)  # free bitcast
     out = pl.pallas_call(
-        functools.partial(_mlp_kernel, activation=activation),
+        functools.partial(_mlp_kernel, activation=activation, dropout_p=dropout_p),
         grid=(pl.cdiv(bs * n, rows),),
         in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec((rows, d), lambda b: (b, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((d, f), lambda b: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((f,), lambda b: (0,), memory_space=pltpu.VMEM),
@@ -130,5 +234,103 @@ def fused_mlp(
             transcendentals=bs * n * f,
         ),
         interpret=interpret,
-    )(xr, w1, b1, w2, b2)
+    )(seed, xr, w1, b1, w2, b2)
     return out.reshape(bs, n, d)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8))
+def _mlp(x, seed, w1, b1, w2, b2, activation, dropout_p, interpret):
+    return _mlp_call(x, seed, w1, b1, w2, b2, activation, dropout_p, interpret)
+
+
+def _mlp_fwd(x, seed, w1, b1, w2, b2, activation, dropout_p, interpret):
+    out = _mlp_call(x, seed, w1, b1, w2, b2, activation, dropout_p, interpret)
+    return out, (x, seed, w1, b1, w2)
+
+
+def _mlp_bwd(activation, dropout_p, interpret, res, g):
+    x, seed, w1, b1, w2 = res
+    bs, n, d = x.shape
+    f = w1.shape[1]
+    rows = _bwd_rows(f)
+    xr = x.reshape(bs * n, d)
+    gr = g.reshape(bs * n, d)
+    dx, dw1, db1, dw2, db2 = pl.pallas_call(
+        functools.partial(
+            _mlp_bwd_kernel,
+            activation=activation,
+            dropout_p=dropout_p,
+            total_rows=bs * n,
+        ),
+        grid=(pl.cdiv(bs * n, rows),),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((rows, d), lambda b: (b, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((d, f), lambda b: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((f,), lambda b: (0,), memory_space=pltpu.VMEM),
+            pl.BlockSpec((f, d), lambda b: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((rows, d), lambda b: (b, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((rows, d), lambda b: (b, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((d, f), lambda b: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, f), lambda b: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((f, d), lambda b: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d), lambda b: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((bs * n, d), x.dtype),
+            jax.ShapeDtypeStruct((d, f), jnp.float32),
+            jax.ShapeDtypeStruct((1, f), jnp.float32),
+            jax.ShapeDtypeStruct((f, d), jnp.float32),
+            jax.ShapeDtypeStruct((1, d), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=3 * 2 * 2 * bs * n * d * f,
+            bytes_accessed=3 * x.size * x.dtype.itemsize
+            + 2 * (w1.size + w2.size) * x.dtype.itemsize,
+            transcendentals=bs * n * f,
+        ),
+        interpret=interpret,
+    )(seed, xr, w1, b1, w2, gr)
+    seed_ct = np.zeros(seed.shape, jax.dtypes.float0)
+    # weight/bias grads follow the operand dtype like the XLA dense VJP (the
+    # surrounding cast-to-compute-dtype VJP upcasts to the fp32 params)
+    return (
+        dx.reshape(bs, n, d),
+        seed_ct,
+        dw1.astype(w1.dtype),
+        db1[0].astype(b1.dtype),
+        dw2.astype(w2.dtype),
+        db2[0].astype(b1.dtype),
+    )
+
+
+_mlp.defvjp(_mlp_fwd, _mlp_bwd)
+
+
+def fused_mlp(
+    x: jnp.ndarray,  # [bs, n, d]
+    w1: jnp.ndarray,  # [d, f]
+    b1: jnp.ndarray,  # [f]
+    w2: jnp.ndarray,  # [f, d]
+    b2: jnp.ndarray,  # [d]
+    activation: str = "gelu",
+    interpret: bool = False,
+    dropout_p: float = 0.0,
+    seed: jnp.ndarray | None = None,  # int32 scalar; required when dropout_p > 0
+) -> jnp.ndarray:
+    """act(x @ w1 + b1) @ w2 + b2 with the hidden state resident in VMEM.
+
+    Differentiable (recompute backward, fused weight-grad accumulation);
+    ``dropout_p`` applies the reference's FFN dropout between activation and
+    fc2 in-kernel, keyed on ``seed``.
+    """
+    if seed is None:
+        assert not dropout_p, "dropout requires a seed"
+        seed = jnp.zeros((1,), jnp.int32)
+    else:
+        seed = jnp.asarray(seed, jnp.int32).reshape((1,))
+    # all operands in the caller's compute dtype (flax Dense casts likewise)
+    w1, b1, w2, b2 = (a.astype(x.dtype) for a in (w1, b1, w2, b2))
+    return _mlp(x, seed, w1, b1, w2, b2, activation, float(dropout_p), interpret)

@@ -60,3 +60,27 @@ def test_backend_resolution(monkeypatch):
     assert layernorm_backend() == "xla"  # CPU test env
     monkeypatch.delenv("SCHEMANET_LN_BACKEND")
     assert layernorm_backend() == "xla"
+
+
+def test_fused_layernorm_gradient_parity(rng):
+    """dx/dscale/dbias from the backward kernel match XLA autodiff (fp32)."""
+    bs, n, d = 4, 13, 32
+    x = jnp.asarray(rng.normal(size=(bs, n, d)).astype(np.float32))
+    sc = jnp.asarray(rng.normal(size=(d,)).astype(np.float32))
+    bi = jnp.asarray(rng.normal(size=(d,)).astype(np.float32))
+
+    def ref(x, sc, bi):
+        xf = x.astype(jnp.float32)
+        mu = xf.mean(-1, keepdims=True)
+        var = jnp.maximum((xf * xf).mean(-1, keepdims=True) - mu * mu, 0.0)
+        return ((xf - mu) * jax.lax.rsqrt(var + 1e-6) * sc + bi).astype(x.dtype)
+
+    g1 = jax.grad(
+        lambda *a: jnp.sum(jnp.sin(fused_layernorm(*a, 1e-6, interpret=True))),
+        argnums=(0, 1, 2),
+    )(x, sc, bi)
+    g2 = jax.grad(lambda *a: jnp.sum(jnp.sin(ref(*a))), argnums=(0, 1, 2))(x, sc, bi)
+    for a, b, nm in zip(g1, g2, ("x", "scale", "bias")):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5, err_msg=nm
+        )

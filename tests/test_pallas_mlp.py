@@ -60,3 +60,32 @@ def test_predictor_fused_mlp_matches_xla(rng, monkeypatch):
 
 def test_backend_alias():
     assert mlp_backend() in ("xla", "pallas", "interpret")
+
+
+@pytest.mark.parametrize("bs,n", [(4, 13), (2, 7)])  # bs*n never divides rows: tail path
+def test_fused_mlp_gradient_parity(rng, bs, n):
+    """All five grads (x, w1, b1, w2, b2) from the backward kernel match XLA
+    autodiff, including the partial trailing row-block (whose garbage rows
+    must be masked out of the accumulated weight grads)."""
+    d, f = 32, 64
+    x = jnp.asarray(rng.normal(size=(bs, n, d)).astype(np.float32))
+    w1 = jnp.asarray(rng.normal(size=(d, f)).astype(np.float32) * 0.1)
+    b1 = jnp.asarray(rng.normal(size=(f,)).astype(np.float32) * 0.1)
+    w2 = jnp.asarray(rng.normal(size=(f, d)).astype(np.float32) * 0.1)
+    b2 = jnp.asarray(rng.normal(size=(d,)).astype(np.float32) * 0.1)
+
+    def ref(x, w1, b1, w2, b2):
+        h = jax.nn.gelu(jnp.dot(x, w1) + b1, approximate=False)
+        return jnp.dot(h, w2) + b2
+
+    g1 = jax.grad(
+        lambda *a: jnp.sum(jnp.sin(fused_mlp(*a, "gelu", interpret=True))),
+        argnums=tuple(range(5)),
+    )(x, w1, b1, w2, b2)
+    g2 = jax.grad(
+        lambda *a: jnp.sum(jnp.sin(ref(*a))), argnums=tuple(range(5))
+    )(x, w1, b1, w2, b2)
+    for a, b, nm in zip(g1, g2, ("x", "w1", "b1", "w2", "b2")):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-4, atol=1e-5, err_msg=nm
+        )
