@@ -160,6 +160,20 @@ def cmd_train(args):
     return 0
 
 
+def _stage_mesh(args):
+    """Data-parallel mesh for the pipeline stages (1/3) — the reference runs
+    these single-GPU by construction; here they ride the same mesh as
+    training. None on a single chip with no explicit request (identical
+    single-device program to before)."""
+    import jax
+
+    if args.mesh_data is None and args.mesh_model == 1 and jax.device_count() == 1:
+        return None
+    from .parallel.mesh import make_mesh
+
+    return make_mesh(data=args.mesh_data, model=args.mesh_model)
+
+
 def cmd_extract(args):
     from .data.datasets import get_dataset
     from .data.loader import DataLoader
@@ -188,6 +202,7 @@ def cmd_extract(args):
                 os.path.join(args.save_path, "saved_features.h5") if args.save_features else None
             ),
             seed=args.seed,
+            mesh=_stage_mesh(args),
         )
         n_feats = args.max_features
     save_fp = os.path.join(args.save_path, f"cluster_{num_clusters}_from_{n_feats}.npy")
@@ -270,6 +285,7 @@ def cmd_init(args):
             schema_cfg.get("ir_atlas", {}).get("init_accumulate_compat", False)
         ),
         compat_seed=args.seed,
+        mesh=_stage_mesh(args),
     )
     save_atlas_init(args.save_fp, atlas_init["params"], atlas_init["class_ingredients"])
     print(f"saved initial IR-Atlas to {args.save_fp}")

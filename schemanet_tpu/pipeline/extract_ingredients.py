@@ -28,16 +28,21 @@ def collect_mid_features(
     encode_layer: int,
     max_features: int,
     as_iterator: bool = False,
+    mesh=None,
 ):
     """Yield [n, d] batches of mid-layer patch tokens (CLS stripped, like the
-    reference Adapter) until max_features is reached."""
+    reference Adapter) until max_features is reached.
+
+    With ``mesh`` the backbone forward runs data-parallel over the mesh's
+    ``data`` axis (params replicated, batches sharded — the reference's stage 1
+    is single-GPU by construction, ``scripts/extract_ingredients.py:59-114``;
+    the 50M-feature ImageNet collection is embarrassingly data-parallel)."""
 
     from ..ops.pallas.attention import attention_backend
 
     fused = attention_backend() != "xla"
 
-    @jax.jit
-    def step(p, image):
+    def step_fn(p, image):
         # no capture needed here -> the whole forward can take the fused
         # Pallas attention on TPU backends
         seq, _ = model.apply(
@@ -46,10 +51,21 @@ def collect_mid_features(
         )
         return seq[:, model.num_prefix_tokens :, :]  # strip CLS/dist tokens
 
+    if mesh is not None:
+        from ..parallel.mesh import batch_sharding, put_local_batch, replicated
+
+        bsh = batch_sharding(mesh)
+        params = jax.device_put(params, replicated(mesh))
+        step = jax.jit(step_fn, out_shardings=bsh)
+        place = lambda img: put_local_batch(np.asarray(img), bsh)
+    else:
+        step = jax.jit(step_fn)
+        place = jnp.asarray
+
     def gen() -> Iterator[np.ndarray]:
         seen = 0
         for batch in loader:
-            feats = step(params, jnp.asarray(batch["image"]))
+            feats = step(params, place(batch["image"]))
             flat = np.asarray(feats).reshape(-1, feats.shape[-1])
             if seen + len(flat) > max_features:
                 flat = flat[: max_features - seen]
@@ -77,9 +93,13 @@ def extract_codebook(
     lloyd_iters: int = 10,
     lloyd_sample: int = 200_000,
     save_features_path: Optional[str] = None,
+    mesh=None,
 ) -> np.ndarray:
     """Stream features -> minibatch k-means -> optional Lloyd refinement on a
-    held sample. Returns [M, d] float32 centers."""
+    held sample. Returns [M, d] float32 centers.
+
+    ``mesh`` data-parallelises the backbone forward (the stage's dominant
+    cost); the k-means state is small and stays on the default device."""
     key = jax.random.PRNGKey(seed)
     held: list = []
     held_count = 0
@@ -87,7 +107,8 @@ def extract_codebook(
     def stream():
         nonlocal held_count
         for chunk in collect_mid_features(
-            model, params, loader, encode_layer, max_features, as_iterator=True
+            model, params, loader, encode_layer, max_features, as_iterator=True,
+            mesh=mesh,
         ):
             if held_count < lloyd_sample:
                 take = min(len(chunk), lloyd_sample - held_count)

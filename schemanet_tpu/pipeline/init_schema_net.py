@@ -41,6 +41,7 @@ def init_atlas(
     accumulate_compat: bool = False,
     initial_edge_weights: jnp.ndarray = None,
     compat_seed: int = 0,
+    mesh=None,
 ) -> Dict[str, Any]:
     """Returns {'params': atlas params, 'class_ingredients': [K, V_max]}.
 
@@ -48,8 +49,27 @@ def init_atlas(
     the random edge init (scripts/init_schema_net.py:19-40): the edge
     accumulator starts at ``initial_edge_weights`` (defaults to the same
     trunc-normal(0.5, 1/6) init the atlas parameter would get, drawn with
-    ``compat_seed``) instead of zeros."""
+    ``compat_seed``) instead of zeros.
+
+    With ``mesh`` both dataset passes run data-parallel over the mesh's
+    ``data`` axis: batches are sharded, the class accumulators stay replicated
+    (XLA turns the by-label scatter-add into a local scatter + all-reduce over
+    ICI). The reference's stage 3 is single-GPU by construction
+    (scripts/init_schema_net.py:106-127) despite being two full dataset
+    passes."""
     c = atlas_cfg
+    if mesh is not None:
+        from ..parallel.mesh import batch_sharding, put_local_batch, replicated
+
+        bsh, rep = batch_sharding(mesh), replicated(mesh)
+        place_b = lambda x: put_local_batch(np.asarray(x), bsh)
+        # accumulators (leading args) are donated and stay replicated
+        jit_acc = lambda f, n: jax.jit(
+            f, out_shardings=rep, donate_argnums=tuple(range(n))
+        )
+    else:
+        place_b = jnp.asarray
+        jit_acc = lambda f, n: jax.jit(f, donate_argnums=tuple(range(n)))
     k, v_max, m = c.num_classes, c.v_max, c.num_vertices
     if attr_init is None:
         w_v = jnp.full((2, 1), 0.5)
@@ -64,7 +84,6 @@ def init_atlas(
     geo = geometry.pairwise_point_sim(c.feat_h, c.feat_w, c.dist_alpha, c.dist_pow)
 
     # ---- pass 1: class vertex averages (init_schema_net.py:43-65) ----------
-    @jax.jit
     def vertex_step(acc, counts, image, labels, valid):
         out = predictor_apply(image)
         vertices = graph_ops.feat_to_full_vertices(
@@ -75,12 +94,14 @@ def init_atlas(
         counts = counts.at[labels].add(valid)
         return acc, counts
 
-    acc = jnp.zeros((k, m), jnp.float32)
-    counts = jnp.zeros((k,), jnp.float32)
+    vertex_step = jit_acc(vertex_step, 2)
+    place_r = (lambda x: jax.device_put(x, rep)) if mesh is not None else (lambda x: x)
+    acc = place_r(jnp.zeros((k, m), jnp.float32))
+    counts = place_r(jnp.zeros((k,), jnp.float32))
     for batch in loader:
-        valid = jnp.asarray(batch.get("valid", np.ones(len(batch["label"]), np.float32)))
+        valid = batch.get("valid", np.ones(len(batch["label"]), np.float32))
         acc, counts = vertex_step(
-            acc, counts, jnp.asarray(batch["image"]), jnp.asarray(batch["label"]), valid
+            acc, counts, place_b(batch["image"]), place_b(batch["label"]), place_b(valid)
         )
     class_vertices = acc / jnp.maximum(counts, 1.0)[:, None]
     class_vertices = class_vertices / jnp.maximum(
@@ -91,7 +112,6 @@ def init_atlas(
     logger.info("pass 1 done: %d classes, %s tracked samples", k, np.asarray(counts).sum())
 
     # ---- pass 2: class-limited edge averages (init_schema_net.py:19-40) ----
-    @jax.jit
     def edge_step(acc_e, image, labels, valid):
         out = predictor_apply(image)
         edges = graph_ops.class_limited_edges(
@@ -112,11 +132,13 @@ def init_atlas(
         assert acc_e.shape == (k, v_max, v_max), acc_e.shape
     else:
         acc_e = jnp.zeros((k, v_max, v_max), jnp.float32)
+    edge_step = jit_acc(edge_step, 1)
+    acc_e = place_r(acc_e)
     loader.set_epoch(1)
     for batch in loader:
-        valid = jnp.asarray(batch.get("valid", np.ones(len(batch["label"]), np.float32)))
+        valid = batch.get("valid", np.ones(len(batch["label"]), np.float32))
         acc_e = edge_step(
-            acc_e, jnp.asarray(batch["image"]), jnp.asarray(batch["label"]), valid
+            acc_e, place_b(batch["image"]), place_b(batch["label"]), place_b(valid)
         )
     edge_weights = acc_e / jnp.maximum(counts, 1.0)[:, None, None]
     logger.info("pass 2 done")
