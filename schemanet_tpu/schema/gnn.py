@@ -36,12 +36,32 @@ import jax.numpy as jnp
 import numpy as np
 
 
+def symmetrize_edges(e: jnp.ndarray) -> jnp.ndarray:
+    """E_sym = (E + E^T)/2 + I — the reference's GraphConv operator
+    (gnn.py:20-31) materialised explicitly.
+
+    Materialising E_sym makes each conv a SINGLE [.., n, n] x [.., n, d]
+    matmul in forward and in backward (df = E_sym @ g by symmetry, a
+    copy-free first-axis contraction) instead of the two E@f / E^T@f
+    matmuls a not-materialised E^T costs. At ImageNet atlas scale
+    ([K=1000, 500, 500] @ [K, 500, D=1024]) that removes ~2e12 MXU FLOPs
+    per step from the class-GNN — its backward was 55% of the bs=1024
+    step. The price is a bandwidth-bound transpose (~1 ms at 0.5 GB).
+
+    E_sym must NOT be kept live as an autodiff residual: at atlas scale it
+    is a 0.5 GB bf16 tensor and saving it pushed the bs=1024 ImageNet step
+    over HBM (16.46 of 15.75 G). ``_sym_conv`` therefore folds this helper
+    into a custom VJP whose residuals are the RAW edges (already live as
+    the atlas param) and recomputes E_sym in backward; XLA CSEs the
+    recompute across the two GNN layers.
+    """
+    return 0.5 * (e + jnp.swapaxes(e, -1, -2)) + jnp.eye(e.shape[-1], dtype=e.dtype)
+
+
 @jax.custom_vjp
 def _sym_conv(e: jnp.ndarray, f: jnp.ndarray) -> jnp.ndarray:
-    """((E + E^T)/2 + I) @ f without materialising E^T (see GraphConv)."""
-    fwd = jnp.einsum("bnm,bmd->bnd", e, f)  # E @ f
-    bwd = jnp.einsum("bmn,bmd->bnd", e, f)  # E^T @ f, first-axis contraction
-    return 0.5 * (fwd + bwd) + f
+    """((E + E^T)/2 + I) @ f as one matmul over a recomputed E_sym."""
+    return jnp.einsum("bnm,bmd->bnd", symmetrize_edges(e), f)
 
 
 def _sym_conv_fwd(e, f):
@@ -50,21 +70,15 @@ def _sym_conv_fwd(e, f):
 
 def _sym_conv_bwd(res, g):
     e, f = res
-    # autodiff would emit TWO [bs,n,n]-producing dots for dE (one per einsum)
-    # whose outputs land in different layouts — the downstream grad add then
-    # materialises a full-tensor layout copy (420 MB at ImageNet atlas scale).
-    # But the two terms are literally transposes of each other:
-    #   dE = 0.5 * (g f^T + f g^T) = 0.5 * (t + t^T),  t = g f^T
-    # so compute t once and symmetrise — saves one [K,V,V] dot per layer per
-    # step and hands the optimizer a single consistently-laid-out tensor.
+    # recompute E_sym (bandwidth-bound) rather than saving it (0.5 GB at
+    # atlas scale); df = E_sym^T @ g = E_sym @ g by symmetry, expressed as
+    # the first-axis contraction so no layout copy is emitted
+    df = jnp.einsum("bnm,bnd->bmd", symmetrize_edges(e), g)
+    # dE_sym = g f^T; through d(sym)/dE the identity drops out and
+    # dE = (dE_sym + dE_sym^T)/2 — compute t once and symmetrise, which
+    # also hands the optimizer one consistently-laid-out tensor
     t = jnp.einsum("bnd,bmd->bnm", g, f)
     de = 0.5 * (t + jnp.swapaxes(t, 1, 2))
-    # df mirrors the forward (the operator is symmetric): 0.5(E^T + E) g + g
-    df = (
-        0.5
-        * (jnp.einsum("bnm,bnd->bmd", e, g) + jnp.einsum("bnm,bmd->bnd", e, g))
-        + g
-    )
     return de, df
 
 
@@ -130,14 +144,11 @@ _embed_lookup.defvjp(_embed_lookup_fwd, _embed_lookup_bwd)
 class GraphConv(nn.Module):
     """feat <- ((E + E^T)/2 + I) @ feat, then Linear (reference gnn.py:20-31).
 
-    Computed as 0.5*(E@f) + 0.5*(E^T@f) + f with E^T@f expressed as a
-    first-axis contraction — the explicit [K, V, V] transpose otherwise
-    materialises a 420 MB layout copy at atlas scale AND propagates a
-    transposed layout into the atlas param/optimizer pipeline (profiled as ~8
-    full-tensor layout-conversion copies, ~10 ms/step at ImageNet-lite scale).
-    The MXU contracts either operand axis natively; no copy is emitted.
-    The custom VJP (_sym_conv_bwd) applies the same reasoning to the backward
-    edge gradient.
+    Computed via ``_sym_conv``: one matmul over a materialised-then-freed
+    E_sym in forward, recomputed in backward (see symmetrize_edges for the
+    FLOP/memory accounting). Expressing the backward's E_sym^T@g as a
+    first-axis contraction avoids full-tensor layout copies (420 MB at
+    atlas scale).
     """
 
     out_dim: int
@@ -146,9 +157,8 @@ class GraphConv(nn.Module):
 
     @nn.compact
     def __call__(self, edges: jnp.ndarray, feat: jnp.ndarray) -> jnp.ndarray:
-        # edges: [bs, n, n], feat: [bs, n, dim]
-        e = edges.astype(feat.dtype)
-        feat = _sym_conv(e, feat)
+        # edges: [bs, n, n] raw, feat: [bs, n, dim]
+        feat = _sym_conv(edges.astype(feat.dtype), feat)
         if self.identity_proj:
             return feat
         return nn.Dense(

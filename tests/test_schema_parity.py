@@ -228,8 +228,9 @@ def test_rectify_linear_below_threshold():
 
 
 def test_sym_conv_custom_vjp_matches_autodiff(rng):
-    # the custom backward (_sym_conv_bwd computes dE once and symmetrises)
-    # must equal plain autodiff of the textbook formula
+    # _sym_conv (single matmul over a recomputed E_sym; custom backward
+    # computes dE once and symmetrises) must equal plain autodiff of the
+    # textbook formula, values and gradients
     from schemanet_tpu.schema.gnn import _sym_conv
 
     e = jnp.asarray(rng.normal(size=(3, 9, 9)).astype(np.float32))
@@ -240,8 +241,7 @@ def test_sym_conv_custom_vjp_matches_autodiff(rng):
         sym = 0.5 * (e + jnp.swapaxes(e, 1, 2)) + jnp.eye(e.shape[1])[None]
         return jnp.einsum("bnm,bmd->bnd", sym, f)
 
-    out = _sym_conv(e, f)
-    np.testing.assert_allclose(out, plain(e, f), rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(_sym_conv(e, f), plain(e, f), rtol=1e-5, atol=1e-5)
     de, df = jax.vjp(_sym_conv, e, f)[1](ct)
     de_ref, df_ref = jax.vjp(plain, e, f)[1](ct)
     np.testing.assert_allclose(de, de_ref, rtol=1e-5, atol=1e-5)
