@@ -74,9 +74,30 @@ def main():
             graph_precision="default",
         ),
     }
+    # class slot -> code id layout mirrors stage 3 (pipeline/init_schema_net):
+    # with V_max < M each class keeps its top-V_max codes (distinct, sorted
+    # ascending); with V_max == M the buffer is the identity arange. The
+    # buffer is write-once, so it is declared static to the jitted step
+    # (schema/gnn.py StaticIds) — the class-embedding backward becomes a
+    # trace-time-sorted banded matmul instead of a dynamic scatter-add.
+    # BENCH_STATIC_IDS=0 measures the dynamic-scatter path for comparison.
+    id_rng = np.random.default_rng(7)
+    v_max = 500 if scale == "imagenet" else num_codes
+    if v_max < num_codes:
+        ci = np.sort(
+            np.argsort(id_rng.random((num_classes, num_codes)), axis=1)[:, :v_max],
+            axis=1,
+        ).astype(np.int32)
+    else:
+        ci = np.broadcast_to(
+            np.arange(v_max, dtype=np.int32), (num_classes, v_max)
+        ).copy()
+    use_static_ids = os.environ.get("BENCH_STATIC_IDS", "1") == "1"
+
     predictor = build_predictor(
         model_cfg, schema_cfg, num_classes=num_classes, num_codes=num_codes,
         code_dim=embed_dim, encode_layer=9, dtype=dtype,
+        static_class_ids=ci if use_static_ids else None,
     )
 
     # initialise on the host CPU backend: param init needs no TPU and skipping
@@ -86,8 +107,12 @@ def main():
         rng = jax.random.PRNGKey(0)
         x_init = jnp.zeros((2, 224, 224, 3), jnp.float32)
         variables = predictor.init(rng, x_init)
+    buffers_host = dict(variables["buffers"])
+    buffers_host["schema_net"] = dict(
+        buffers_host["schema_net"], class_ingredients=jnp.asarray(ci)
+    )
     params = jax.device_put(variables["params"], jax.devices()[0])
-    buffers = jax.device_put(variables["buffers"], jax.devices()[0])
+    buffers = jax.device_put(buffers_host, jax.devices()[0])
 
     loss_fn = get_loss_fn({"name": "schema_inference_loss"})
     weights = {"cls": 1.0, "re_entropy_vertex": 0.5, "re_entropy_edge": 0.75}

@@ -141,6 +141,127 @@ def _embed_lookup_bwd(res, g):
 _embed_lookup.defvjp(_embed_lookup_fwd, _embed_lookup_bwd)
 
 
+class StaticIds:
+    """Hashable host copy of a never-updated integer id buffer.
+
+    The class-graph ``class_ingredients`` buffer ([K, V_max] global code ids)
+    is written once by atlas init and never mutated during training, yet it
+    rides through the jitted step as a traced array — so autodiff of the
+    class-graph embedding gather pays a DYNAMIC scatter-add (profiled at
+    ~22 ms for the 500k-row ImageNet atlas, PERFORMANCE.md §10; the round-2
+    sorted-segment kernel attempt hit parity only because the on-device
+    argsort of the ids was itself 15 ms). Carrying the ids as a static host
+    array moves that argsort to the Python trace (free at runtime) and turns
+    the backward into a static-permutation gather + banded reduction.
+
+    Hashable/comparable by value so it is safe as a flax module attribute
+    (frozen-dataclass equality) and as a ``custom_vjp`` nondiff argument.
+    """
+
+    def __init__(self, ids):
+        self.ids = np.ascontiguousarray(np.asarray(ids, dtype=np.int32))
+        self.ids.setflags(write=False)
+        self._key = (self.ids.shape, self.ids.tobytes())
+
+    def __eq__(self, other):
+        return isinstance(other, StaticIds) and self._key == other._key
+
+    def __hash__(self):
+        return hash(self._key)
+
+    def __repr__(self):
+        return f"StaticIds(shape={self.ids.shape})"
+
+
+def _static_segment_sum(sorted_ids: np.ndarray, g_perm: jnp.ndarray, num_rows: int):
+    """sum rows of ``g_perm`` (already in sorted-id order) per id — all
+    segment boundaries are static.
+
+    Two implementations, selected by SCHEMANET_STATIC_EMBED_BWD:
+
+    * ``blocked`` (default): chunk the sorted rows; each chunk's ids span a
+      contiguous code band [lo, lo+W) (W = static max band width over chunks),
+      so the chunk reduces with ONE one-hot MXU matmul [C, W]^T @ [C, D] and
+      accumulates into the output at a static offset. FLOPs R*W*D*2 with
+      W ~ C/avg_occurrence — two orders below the full one-hot contraction,
+      no scatter anywhere.
+    * ``sorted_scatter``: the plain fp32 scatter-add but with
+      ``indices_are_sorted`` (the permutation already applied by a static
+      gather) — the fallback for comparison runs.
+    """
+    import os
+
+    R, D = g_perm.shape
+    mode = os.environ.get("SCHEMANET_STATIC_EMBED_BWD", "blocked")
+    if mode == "sorted_scatter":
+        return (
+            jnp.zeros((num_rows, D), jnp.float32)
+            .at[jnp.asarray(sorted_ids)]
+            .add(g_perm.astype(jnp.float32), indices_are_sorted=True)
+        )
+    C = min(8192, R)
+    n_chunks = -(-R // C)
+    pad = n_chunks * C - R
+    if pad:
+        # pad ids with the last (largest) id and rows with zeros: the padding
+        # lands inside the final band and contributes nothing to its sum
+        sorted_ids = np.concatenate([sorted_ids, np.full(pad, sorted_ids[-1], np.int32)])
+        g_perm = jnp.concatenate([g_perm, jnp.zeros((pad, D), g_perm.dtype)], axis=0)
+    chunks = sorted_ids.reshape(n_chunks, C)
+    lows = chunks[:, 0].astype(np.int64)
+    widths = chunks[:, -1] - chunks[:, 0] + 1
+    W = int(min(num_rows, -(-int(widths.max()) // 128) * 128))
+    # fp32 cotangents only occur in parity/golden runs — keep those exact,
+    # like _embed_lookup_bwd's one-hot branch
+    precision = jax.lax.Precision.HIGHEST if g_perm.dtype == jnp.float32 else None
+    out = jnp.zeros((num_rows, D), jnp.float32)
+    for i in range(n_chunks):
+        lo = int(min(lows[i], num_rows - W))
+        local = jnp.asarray(chunks[i] - lo)
+        oh = jax.nn.one_hot(local, W, dtype=g_perm.dtype)
+        part = jax.lax.dot_general(
+            oh,
+            jax.lax.dynamic_slice_in_dim(g_perm, i * C, C, axis=0),
+            (((0,), (0,)), ((), ())),
+            precision=precision,
+            preferred_element_type=jnp.float32,
+        )
+        out = jax.lax.dynamic_update_slice(
+            out, jax.lax.dynamic_slice(out, (lo, 0), (W, D)) + part, (lo, 0)
+        )
+    return out
+
+
+from functools import partial as _partial
+
+
+@_partial(jax.custom_vjp, nondiff_argnums=(1,))
+def _embed_lookup_static(table: jnp.ndarray, sids: StaticIds) -> jnp.ndarray:
+    """``table[sids.ids]`` for ids known at trace time (class graphs).
+
+    Forward is the same gather; the backward replaces the dynamic scatter-add
+    with a host-argsorted static permutation + banded one-hot reduction
+    (see StaticIds / _static_segment_sum)."""
+    return jnp.take(table, jnp.asarray(sids.ids), axis=0)
+
+
+def _embed_lookup_static_fwd(table, sids):
+    return _embed_lookup_static(table, sids), table.shape[0]
+
+
+def _embed_lookup_static_bwd(sids, num_rows, g):
+    ids = sids.ids.reshape(-1)
+    D = g.shape[-1]
+    g2 = g.reshape(ids.size, D)
+    perm = np.argsort(ids, kind="stable")
+    g_perm = jnp.take(g2, jnp.asarray(perm), axis=0)
+    gt = _static_segment_sum(ids[perm], g_perm, num_rows)
+    return (gt.astype(g.dtype),)
+
+
+_embed_lookup_static.defvjp(_embed_lookup_static_fwd, _embed_lookup_static_bwd)
+
+
 class GraphConv(nn.Module):
     """feat <- ((E + E^T)/2 + I) @ feat, then Linear (reference gnn.py:20-31).
 
@@ -212,6 +333,7 @@ class GNN(nn.Module):
         ingredients: jnp.ndarray,  # [bs, n] int code ids (num_codes = padding)
         feat_mask: Optional[jnp.ndarray] = None,
         pool_size: Optional[jnp.ndarray] = None,  # traced scalar denominator
+        static_ingredients: Optional[StaticIds] = None,  # trace-time copy of ids
     ) -> jnp.ndarray:
         def embed_init(key, shape, dtype=jnp.float32):
             # trunc_normal on real codes, zeros on the padding row (gnn.py:63-76)
@@ -223,7 +345,12 @@ class GNN(nn.Module):
         table = self.param("embedding", embed_init, (self.num_codes + 1, self.embed_dim))
         # cast the table (not the gathered rows) so the backward contraction
         # runs in the compute dtype; in fp32 parity mode this is a no-op
-        feat = _embed_lookup(table.astype(self.dtype), ingredients)
+        if static_ingredients is not None:
+            assert static_ingredients.ids.shape == tuple(ingredients.shape), (
+                static_ingredients.ids.shape, ingredients.shape)
+            feat = _embed_lookup_static(table.astype(self.dtype), static_ingredients)
+        else:
+            feat = _embed_lookup(table.astype(self.dtype), ingredients)
         for i in range(self.num_layers):
             feat = GNNLayer(
                 self.embed_dim,
@@ -287,6 +414,11 @@ class Matcher(nn.Module):
     # the reference's bs=1 semantics (batch-max == own count), which makes the
     # logits batch-invariant for serving. Only meaningful with ref_pooling.
     per_sample_pooling: bool = False
+    # trace-time copy of the class_ingredients buffer (it is written once by
+    # atlas init and never updated): enables the static embedding backward
+    # (no dynamic scatter — see StaticIds). MUST match the buffer's value;
+    # the worker asserts this on checkpoint resume.
+    static_class_ids: Optional[StaticIds] = None
     dtype: jnp.dtype = jnp.float32
 
     def setup(self):
@@ -317,6 +449,7 @@ class Matcher(nn.Module):
             nodes=atlas["class_vertices"],
             edges=atlas["class_edges"],
             ingredients=atlas["class_ingredients"],
+            static_ingredients=self.static_class_ids,
         )  # [K, dim]
         sim = similarity_fn(self.similarity)
         return sim(feat_instance[:, None, :], feat_kg[None, :, :])  # [bs, K]

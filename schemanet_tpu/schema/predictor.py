@@ -21,7 +21,7 @@ import jax.numpy as jnp
 from ..models.vit import ViT, get_model
 from ..ops.vq import vq_encode
 from .atlas import AtlasConfig, SchemaAtlas
-from .gnn import Matcher
+from .gnn import Matcher, StaticIds
 
 
 def _any_fused_backend() -> bool:
@@ -131,6 +131,9 @@ class SchemaNetConfig:
     # per-sample pooling denominator (reference bs=1 semantics) — batch
     # invariant; used by serving (serve.py)
     per_sample_pooling: bool = False
+    # trace-time copy of class_ingredients (static buffer): enables the
+    # scatter-free class-embedding backward (schema/gnn.py StaticIds)
+    static_class_ids: Optional["StaticIds"] = None
 
 
 class SchemaNetPredictor(nn.Module):
@@ -168,6 +171,7 @@ class SchemaNetPredictor(nn.Module):
             activation=self.cfg.gnn_activation,
             ref_pooling=self.cfg.ref_pooling,
             per_sample_pooling=self.cfg.per_sample_pooling,
+            static_class_ids=self.cfg.static_class_ids,
             dtype=self.dtype,
             name="matcher",
         )
@@ -234,8 +238,13 @@ def build_predictor(
     encode_layer: int,
     uniform_range: Tuple[float, float] = (-1.0, 1.0),
     dtype=jnp.float32,
+    static_class_ids=None,
 ) -> SchemaNetPredictor:
-    """Assemble from reference-style YAML blocks (worker_schema_net.py:337-364)."""
+    """Assemble from reference-style YAML blocks (worker_schema_net.py:337-364).
+
+    ``static_class_ids``: optional host array mirroring the class_ingredients
+    buffer — it is static during training, and declaring it enables the
+    scatter-free class-embedding backward (schema/gnn.py StaticIds)."""
     backbone = get_model(model_cfg, num_classes, dtype=dtype)
     atlas_cfg = AtlasConfig.from_cfg(
         num_vertices=num_codes,
@@ -251,6 +260,9 @@ def build_predictor(
         gnn_activation=gnn_cfg.get("activation", "relu"),
         similarity=schema_cfg.get("matcher", {}).get("similarity", "inner_product"),
         ref_pooling=schema_cfg.get("matcher", {}).get("ref_pooling", True),
+        static_class_ids=(
+            StaticIds(static_class_ids) if static_class_ids is not None else None
+        ),
     )
     return SchemaNetPredictor(
         backbone=backbone,

@@ -90,6 +90,7 @@ class Trainer:
         seed: int = 42,
         top_k: Sequence[int] = (1, 5),
         extra_scalars: Optional[Callable[[Any], Dict[str, float]]] = None,
+        buffer_guard: Optional[Callable[[Any], None]] = None,
         name: str = "trainer",
     ):
         self.cfg = cfg
@@ -169,6 +170,10 @@ class Trainer:
             if ckpt_dir
             else None
         )
+        # validates restored buffers against trace-time constants the apply_fn
+        # was built with (e.g. StaticIds of class_ingredients) — a checkpoint
+        # whose buffers differ would silently train with wrong gradients
+        self.buffer_guard = buffer_guard
         if resume:
             self.resume(resume)
 
@@ -371,6 +376,8 @@ class Trainer:
             "step": self.state.step,
         }
         restored = self.ckpt.restore(tag_or_path, template)
+        if self.buffer_guard is not None:
+            self.buffer_guard(restored["buffers"])
         train_params, frozen_params = split_by_labels(
             restored["params"], self.param_labels
         )

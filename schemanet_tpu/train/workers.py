@@ -16,6 +16,7 @@ from typing import Any, Dict, Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..data.loader import build_loaders
 from ..models.port import load_pretrain_into
@@ -175,6 +176,17 @@ def schema_net_worker(global_cfg: Dict[str, Any], args: LaunchArgs) -> Dict[str,
             "uniform_range", (-1.0, 1.0)
         )
     )
+    # load the IR-Atlas init BEFORE building the predictor: class_ingredients
+    # is a write-once buffer (stage 3 fills it; training never updates it), so
+    # its host copy can be declared static to the jitted step — this turns the
+    # class-embedding backward from a dynamic scatter-add into a trace-time
+    # -sorted banded matmul reduction (schema/gnn.py StaticIds)
+    atlas_init = None
+    init_fp = schema_cfg.get("initial_state_fp")
+    if init_fp and os.path.exists(os.path.expanduser(init_fp)):
+        from ..pipeline.bundle import load_atlas_init
+
+        atlas_init = load_atlas_init(os.path.expanduser(init_fp))
     predictor = build_predictor(
         model_cfg=bundle.model_cfg,
         schema_cfg=schema_cfg,
@@ -184,6 +196,9 @@ def schema_net_worker(global_cfg: Dict[str, Any], args: LaunchArgs) -> Dict[str,
         encode_layer=bundle.encode_layer,
         uniform_range=uniform_range,
         dtype=resolve_dtype(train_cfg.get("dtype")),
+        static_class_ids=(
+            None if atlas_init is None else atlas_init["class_ingredients"]
+        ),
     )
     dummy = jnp.zeros((1, bundle.img_size, bundle.img_size, 3), jnp.float32)
     variables = predictor.init(jax.random.PRNGKey(args.seed), dummy, method="init_full")
@@ -192,14 +207,26 @@ def schema_net_worker(global_cfg: Dict[str, Any], args: LaunchArgs) -> Dict[str,
     params["backbone"] = bundle.backbone_params
     params["ingredient_backbone"] = {"vocabulary": bundle.codebook}
 
-    init_fp = schema_cfg.get("initial_state_fp")
-    if init_fp and os.path.exists(os.path.expanduser(init_fp)):
-        from ..pipeline.bundle import load_atlas_init
-
-        atlas_init = load_atlas_init(os.path.expanduser(init_fp))
+    if atlas_init is not None:
         params["schema_net"] = atlas_init["params"]
         buffers["schema_net"] = {"class_ingredients": atlas_init["class_ingredients"]}
         logger.info("loaded initial IR-Atlas from %s", init_fp)
+
+    def buffer_guard(restored_buffers):
+        # the apply_fn was traced with the atlas-init class_ingredients baked
+        # in as a static constant; a resumed checkpoint whose buffer differs
+        # would silently train with the wrong class graphs
+        sid = predictor.cfg.static_class_ids
+        if sid is None:
+            return
+        got = np.asarray(
+            jax.device_get(restored_buffers["schema_net"]["class_ingredients"])
+        )
+        if not np.array_equal(got, sid.ids):
+            raise ValueError(
+                "resumed class_ingredients buffer differs from the atlas init "
+                f"({init_fp}) this run was built with — refusing to continue"
+            )
 
     atlas_cfg = predictor.cfg.atlas
 
@@ -236,6 +263,7 @@ def schema_net_worker(global_cfg: Dict[str, Any], args: LaunchArgs) -> Dict[str,
         resume=args.resume,
         seed=args.seed,
         extra_scalars=attr_scalars,
+        buffer_guard=buffer_guard,
         name="schema_net_trainer",
     )
     result = trainer()
