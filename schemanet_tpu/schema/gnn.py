@@ -311,7 +311,29 @@ class GNNLayer(nn.Module):
         )
         if feat_mask is not None:
             feat = jnp.where(feat_mask[..., None], 0.0, feat)
-        feat = nn.LayerNorm(dtype=self.dtype, name="norm")(feat)
+        norm = nn.LayerNorm(dtype=self.dtype, name="norm")
+        # LN -> act is a pure bandwidth tail (at ImageNet atlas scale the
+        # class-graph feat is [1000, 500, 1024] ~ 1 GB bf16 per tensor, twice
+        # per GNN layer in fwd + bwd): fuse both into one Pallas pass when the
+        # platform supports it (same backend gate as the backbone's LN,
+        # ops/pallas/layernorm.py). Params stay owned by nn.LayerNorm (same
+        # ckpt tree); differentiable via the kernel's custom VJP.
+        if not self.is_initializing():
+            from ..ops.pallas.layernorm import fused_layernorm, layernorm_backend
+
+            backend = layernorm_backend()
+            if backend in ("pallas", "interpret"):
+                _ = norm(feat[:1, :1])  # materialise params only (DCE'd)
+                p = norm.variables["params"]
+                fused_act = "relu" if self.activation == "relu" else "none"
+                out = fused_layernorm(
+                    feat, p["scale"], p["bias"], 1e-6,
+                    interpret=backend == "interpret", act=fused_act,
+                )
+                if fused_act == "none":
+                    out = get_activation(self.activation)(out)
+                return out
+        feat = norm(feat)
         return get_activation(self.activation)(feat)
 
 
