@@ -65,6 +65,10 @@ def main():
             "embed_dim": 1024 if scale == "imagenet" else 256,
             "num_layers": 2,
             "activation": "relu",
+            # BENCH_REMAT_CLASS_GNN=1: recompute the class-GNN in backward
+            # (batch-independent) to free its ~5 GB of saved residuals — the
+            # memory that OOMed bs=2048 at ImageNet scale (17.5/15.75 G HBM)
+            "remat_class_gnn": os.environ.get("BENCH_REMAT_CLASS_GNN", "0") == "1",
         },
         "ir_atlas": dict(
             class_max_vertices=500 if scale == "imagenet" else None,

@@ -441,6 +441,13 @@ class Matcher(nn.Module):
     # (no dynamic scatter — see StaticIds). MUST match the buffer's value;
     # the worker asserts this on checkpoint resume.
     static_class_ids: Optional[StaticIds] = None
+    # rematerialise the class-graph GNN in backward (save nothing but its
+    # inputs). The class-GNN residuals are batch-INdependent but huge at
+    # ImageNet atlas scale (~1 GB bf16 per [K, V, D] feat, ~5 GB under the
+    # trainer's `dots` policy) — recomputing them (+~3 TFLOP, also
+    # batch-independent) frees the HBM that caps the batch size, letting a
+    # larger batch amortise the ~146 ms batch-independent step share.
+    remat_class_gnn: bool = False
     dtype: jnp.dtype = jnp.float32
 
     def setup(self):
@@ -467,11 +474,31 @@ class Matcher(nn.Module):
             feat_mask=instance.get("feat_mask"),
             pool_size=pool_size,
         )  # [bs, dim]
-        feat_kg = self.gnn(
-            nodes=atlas["class_vertices"],
-            edges=atlas["class_edges"],
-            ingredients=atlas["class_ingredients"],
-            static_ingredients=self.static_class_ids,
-        )  # [K, dim]
+        if self.remat_class_gnn and not self.is_initializing():
+            # nn.remat reuses self.gnn's scope, so params stay shared with the
+            # instance path (value/grad exactness pinned by test_remat_class_gnn).
+            # static_class_ids is closed over, not passed: StaticIds is a
+            # trace-time static, not a jax type checkpoint could thread.
+            def _class_gnn(mdl, nodes, edges, ingredients):
+                return mdl(
+                    nodes=nodes,
+                    edges=edges,
+                    ingredients=ingredients,
+                    static_ingredients=self.static_class_ids,
+                )
+
+            feat_kg = nn.remat(_class_gnn)(
+                self.gnn,
+                atlas["class_vertices"],
+                atlas["class_edges"],
+                atlas["class_ingredients"],
+            )  # [K, dim]
+        else:
+            feat_kg = self.gnn(
+                nodes=atlas["class_vertices"],
+                edges=atlas["class_edges"],
+                ingredients=atlas["class_ingredients"],
+                static_ingredients=self.static_class_ids,
+            )  # [K, dim]
         sim = similarity_fn(self.similarity)
         return sim(feat_instance[:, None, :], feat_kg[None, :, :])  # [bs, K]

@@ -134,6 +134,10 @@ class SchemaNetConfig:
     # trace-time copy of class_ingredients (static buffer): enables the
     # scatter-free class-embedding backward (schema/gnn.py StaticIds)
     static_class_ids: Optional["StaticIds"] = None
+    # recompute the class-graph GNN in backward instead of saving its ~GB
+    # residuals — batch-independent recompute that buys batch size at
+    # ImageNet atlas scale (schema/gnn.py Matcher.remat_class_gnn)
+    remat_class_gnn: bool = False
 
 
 class SchemaNetPredictor(nn.Module):
@@ -172,6 +176,7 @@ class SchemaNetPredictor(nn.Module):
             ref_pooling=self.cfg.ref_pooling,
             per_sample_pooling=self.cfg.per_sample_pooling,
             static_class_ids=self.cfg.static_class_ids,
+            remat_class_gnn=self.cfg.remat_class_gnn,
             dtype=self.dtype,
             name="matcher",
         )
@@ -263,6 +268,9 @@ def build_predictor(
         static_class_ids=(
             StaticIds(static_class_ids) if static_class_ids is not None else None
         ),
+        # YAML: schema_net.gnn.remat_class_gnn — recompute the class-GNN in
+        # backward to free its ~GB residuals (worth it when HBM caps the batch)
+        remat_class_gnn=gnn_cfg.get("remat_class_gnn", False),
     )
     return SchemaNetPredictor(
         backbone=backbone,

@@ -1,0 +1,111 @@
+"""Class-GNN rematerialisation (schema/gnn.py Matcher.remat_class_gnn).
+
+The class-graph GNN's saved residuals are batch-independent but ~5 GB at
+ImageNet atlas scale — the HBM that caps the trainable batch size. The
+``remat_class_gnn`` knob recomputes them in backward instead. Remat must be
+a pure memory/compute trade: logits and every parameter gradient (params are
+SHARED with the instance-graph path) must be bit-identical with it on or off.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from schemanet_tpu.schema.gnn import Matcher, StaticIds
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(11)
+
+
+def _toy_batch(rng, M=50, K=7, V=12, BS=4, L=10):
+    ci = rng.integers(0, M, size=(K, V)).astype(np.int32)
+    atlas = {
+        "class_vertices": jnp.asarray(rng.random((K, V)).astype(np.float32)),
+        "class_edges": jnp.asarray(rng.random((K, V, V)).astype(np.float32)),
+        "class_ingredients": jnp.asarray(ci),
+    }
+    instance = {
+        "instance_vertices": jnp.asarray(rng.random((BS, L)).astype(np.float32)),
+        "instance_edges": jnp.asarray(rng.random((BS, L, L)).astype(np.float32)),
+        "instance_ingredients": jnp.asarray(rng.integers(0, M, size=(BS, L)), jnp.int32),
+        "num_slots": jnp.full((BS,), L, jnp.int32),
+    }
+    return ci, atlas, instance
+
+
+@pytest.mark.parametrize("static_ids", [False, True])
+def test_remat_matches_plain(rng, static_ids):
+    M = 50
+    ci, atlas, instance = _toy_batch(rng, M=M)
+    kw = dict(
+        similarity="inner_product",
+        num_codes=M,
+        embed_dim=32,
+        num_layers=2,
+        static_class_ids=StaticIds(ci) if static_ids else None,
+    )
+    plain = Matcher(**kw)
+    remat = Matcher(**kw, remat_class_gnn=True)
+    params = plain.init(jax.random.PRNGKey(0), instance, atlas)["params"]
+
+    out_p = plain.apply({"params": params}, instance, atlas)
+    out_r = remat.apply({"params": params}, instance, atlas)
+    np.testing.assert_array_equal(np.asarray(out_p), np.asarray(out_r))
+
+    def loss(m):
+        return lambda p: (m.apply({"params": p}, instance, atlas) ** 2).sum()
+
+    g_p = jax.grad(loss(plain))(params)
+    g_r = jax.grad(loss(remat))(params)
+    flat_p, _ = jax.tree_util.tree_flatten_with_path(g_p)
+    flat_r, _ = jax.tree_util.tree_flatten_with_path(g_r)
+    assert len(flat_p) == len(flat_r)  # identical (shared) param tree
+    for (path, a), (_, b) in zip(flat_p, flat_r):
+        np.testing.assert_array_equal(
+            np.asarray(b), np.asarray(a), err_msg=jax.tree_util.keystr(path)
+        )
+
+
+def test_remat_region_present_in_jaxpr(rng):
+    """The knob must actually emit a remat region (not silently no-op)."""
+    M = 50
+    ci, atlas, instance = _toy_batch(rng, M=M)
+    kw = dict(similarity="inner_product", num_codes=M, embed_dim=32, num_layers=2)
+    plain = Matcher(**kw)
+    remat = Matcher(**kw, remat_class_gnn=True)
+    params = plain.init(jax.random.PRNGKey(0), instance, atlas)["params"]
+
+    def f(m):
+        return lambda p: (m.apply({"params": p}, instance, atlas) ** 2).sum()
+
+    jx_r = str(jax.make_jaxpr(jax.grad(f(remat)))(params))
+    jx_p = str(jax.make_jaxpr(jax.grad(f(plain)))(params))
+    assert "remat" in jx_r
+    assert "remat" not in jx_p
+
+
+def test_build_predictor_threads_knob():
+    from schemanet_tpu.schema.predictor import build_predictor
+
+    model_cfg = {
+        "name": "vit",
+        "transformer": dict(
+            embed_dim=32, num_encoder_layers=2, num_heads=2, dim_feedforward=64,
+            dropout=None, activation="gelu", final_norm=True, norm_eps=1e-6,
+        ),
+        "patch_embed": dict(img_size=32, patch_size=16, image_channels=3),
+        "pos_encoding": dict(name="learnable"),
+    }
+    schema_cfg = {
+        "gnn": {"embed_dim": 16, "num_layers": 1, "remat_class_gnn": True},
+        "ir_atlas": dict(feat_h=2, feat_w=2),
+    }
+    p = build_predictor(
+        model_cfg, schema_cfg, num_classes=3, num_codes=10, code_dim=32,
+        encode_layer=1,
+    )
+    assert p.cfg.remat_class_gnn is True
