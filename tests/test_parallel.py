@@ -251,3 +251,67 @@ def test_mesh_parallel_extract_matches_single_device(rng):
         max_features=256, lloyd_iters=2, seed=0, mesh=mesh,
     )
     np.testing.assert_allclose(base, sharded, rtol=1e-5, atol=1e-6)
+
+
+def test_schema_train_step_sharded_with_class_gnn_remat(rng):
+    """remat_class_gnn composes with mesh sharding + the trainer's outer dots
+    checkpoint: the nested-remat sharded step equals the plain-single-device
+    step (the knob must stay a pure memory/compute trade on a pod too)."""
+    import dataclasses
+
+    import optax
+
+    from schemanet_tpu.schema import get_loss_fn, weighted_total
+    from schemanet_tpu.schema.atlas import project_atlas_params
+    from tests.test_predictor import make_predictor
+
+    plain = make_predictor()
+    remat = dataclasses.replace(
+        plain, cfg=dataclasses.replace(plain.cfg, remat_class_gnn=True)
+    )
+    x = rng.normal(size=(8, 32, 32, 3)).astype(np.float32)
+    y = rng.integers(0, 5, size=(8,)).astype(np.int32)
+    variables = plain.init(jax.random.PRNGKey(0), jnp.asarray(x[:1]))
+    params, buffers = variables["params"], variables["buffers"]
+    loss_fn = get_loss_fn({"name": "schema_inference_loss"})
+    weights = {"cls": 1.0, "re_entropy_vertex": 0.5, "re_entropy_edge": 0.75}
+    atlas_cfg = plain.cfg.atlas
+    tx = optax.adamw(1e-3)
+
+    def make_step(predictor, outer_remat):
+        def step(p, b, opt, image, label):
+            p = dict(p, schema_net=project_atlas_params(p["schema_net"], atlas_cfg))
+
+            def loss(q):
+                out = predictor.apply({"params": q, "buffers": b}, image)
+                return weighted_total(loss_fn(out, {"label": label}), weights)
+
+            if outer_remat:  # the trainer's remat: dots policy (trainer.py)
+                loss = jax.checkpoint(
+                    loss, policy=jax.checkpoint_policies.dots_saveable
+                )
+            g = jax.grad(loss)(p)
+            updates, opt = tx.update(g, opt, p)
+            return optax.apply_updates(p, updates)
+
+        return step
+
+    p1 = jax.jit(make_step(plain, False))(
+        params, buffers, tx.init(params), jnp.asarray(x), jnp.asarray(y)
+    )
+
+    mesh = make_mesh(data=4, model=2)
+    params_s = shard_params(mesh, params)
+    buffers_s = shard_params(mesh, buffers)
+    bs = batch_sharding(mesh)
+    p8 = jax.jit(make_step(remat, True))(
+        params_s, buffers_s, tx.init(params_s),
+        jax.device_put(x, bs), jax.device_put(y, bs),
+    )
+    for (k1, v1), (k8, v8) in zip(
+        jax.tree_util.tree_leaves_with_path(p1), jax.tree_util.tree_leaves_with_path(p8)
+    ):
+        np.testing.assert_allclose(
+            np.asarray(v1), np.asarray(v8), rtol=5e-5, atol=1e-6,
+            err_msg=jax.tree_util.keystr(k1),
+        )
