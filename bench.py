@@ -22,6 +22,13 @@ import numpy as np
 
 def main():
     import jax
+
+    # BENCH_FORCE_CPU=1: pin the CPU backend before first use (the axon
+    # sitecustomize overrides the JAX_PLATFORMS env var, so the config knob
+    # is the only reliable way) — for off-chip cost-model runs
+    if os.environ.get("BENCH_FORCE_CPU") == "1":
+        jax.config.update("jax_platforms", "cpu")
+
     import jax.numpy as jnp
     import optax
 
@@ -180,6 +187,16 @@ def main():
         flops_per_step = float(cost.get("flops", 0.0)) or None
     except Exception as e:
         print(f"bench: cost_analysis unavailable: {e}", file=sys.stderr)
+    # BENCH_COST_ONLY=1: print the cost model and exit without running.
+    # Measured check (2026-08): the all-XLA CPU lowering counts 3.27e12
+    # (cifar) / 23.8e12 (imagenet) flops vs the TPU lowering's reported
+    # 3.46e12 / 22.9e12 — within ±6%, i.e. the TPU cost analysis DOES include
+    # the Pallas kernels (Mosaic supplies cost estimates), so no correction
+    # is applied to the reported flops.
+    if os.environ.get("BENCH_COST_ONLY") == "1":
+        print(json.dumps({"flops_per_step": flops_per_step,
+                          "batch_size": batch_size, "scale": scale}))
+        return
     # generous warmup: beyond the first compile, the first ~10 round-tripped
     # steps pay one-time costs on this backend (layout recompile, lazy constant
     # upload) that would otherwise dominate the timed window
