@@ -86,7 +86,11 @@ def _setup(args) -> Dict[str, Any]:
         jax.distributed.initialize()
     setup_logger(os.path.join(args.log_dir, "logs"), f"{args.file_name_cfg}.log")
     cfg = get_cfg(args.cfg)
-    cfg = apply_overrides(cfg, parse_override_strings(args.override))
+    cfg = apply_overrides(
+        cfg,
+        parse_override_strings(args.override),
+        base_dir=os.path.dirname(os.path.abspath(args.cfg)),
+    )
     return cfg
 
 
@@ -304,6 +308,15 @@ def parse_encode_layer(encoder_layer_cfg: str) -> int:
 
 
 def main(argv=None) -> int:
+    # SCHEMANET_PLATFORM=cpu pins the JAX backend before first use — needed
+    # because TPU plugin sitecustomize setups override the JAX_PLATFORMS env
+    # var, so this config knob is the only reliable way to force a CPU run
+    # (e.g. smoke-testing pipeline mechanics on a host whose chip is busy).
+    platform = os.environ.get("SCHEMANET_PLATFORM")
+    if platform:
+        import jax
+
+        jax.config.update("jax_platforms", platform)
     args = build_parser().parse_args(argv)
     return {
         "train": cmd_train,

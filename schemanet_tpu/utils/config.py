@@ -49,13 +49,30 @@ def resolve_subconfig(value: Any, base_dir: Optional[str] = None) -> Dict[str, A
     raise FileNotFoundError(f"sub-config not found: {value!r} (tried {candidates})")
 
 
-def apply_overrides(cfg: Dict[str, Any], overrides: Dict[str, Any]) -> Dict[str, Any]:
-    """Apply ``a.b.c=value`` style dotted-path overrides, returning a copy."""
+def apply_overrides(
+    cfg: Dict[str, Any],
+    overrides: Dict[str, Any],
+    base_dir: Optional[str] = None,
+) -> Dict[str, Any]:
+    """Apply ``a.b.c=value`` style dotted-path overrides, returning a copy.
+
+    A dotted path may descend THROUGH a sub-config file reference (e.g.
+    ``dataset.num_classes`` when the experiment YAML has
+    ``dataset: configs/datasets/synthetic.yaml``): the reference is resolved
+    inline first. Reference files that wrap their payload under the same key
+    (the ``model:`` convention) are unwrapped so the dotted path reads the
+    same either way; downstream ``resolve_subconfig`` calls are no-ops on the
+    already-resolved dict.
+    """
     out = copy.deepcopy(cfg)
     for dotted, value in overrides.items():
         node = out
         parts = dotted.split(".")
         for key in parts[:-1]:
+            child = node.get(key) if isinstance(node, dict) else None
+            if isinstance(child, str):
+                resolved = resolve_subconfig(child, base_dir)
+                node[key] = resolved.get(key, resolved)
             node = node.setdefault(key, {})
         node[parts[-1]] = value
     return out

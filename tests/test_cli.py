@@ -170,3 +170,28 @@ def test_cli_full_stage_chain(tmp_path):
 
     atlas = load_atlas_init(init_fp)
     assert atlas["params"]["vertex_weights"].shape == (3, 4)
+
+
+def test_override_through_subconfig_path_reference(tmp_path):
+    """A dotted override may descend through a `dataset:`/`model:` YAML path
+    reference — the reference is resolved inline (and `model:`-style wrapper
+    keys unwrapped) before the leaf is set."""
+    from schemanet_tpu.utils.config import apply_overrides, parse_override_strings
+
+    (tmp_path / "ds.yaml").write_text("name: synthetic\nnum_classes: 10\n")
+    (tmp_path / "mdl.yaml").write_text("model:\n  name: vit\n  transformer:\n    embed_dim: 192\n")
+    cfg = {"dataset": "ds.yaml", "model": "mdl.yaml", "training": {"batch_size": 64}}
+
+    out = apply_overrides(
+        cfg,
+        parse_override_strings(
+            ["dataset.num_classes=4", "model.transformer.embed_dim=32", "training.batch_size=8"]
+        ),
+        base_dir=str(tmp_path),
+    )
+    assert out["dataset"]["num_classes"] == 4
+    assert out["dataset"]["name"] == "synthetic"  # rest of the file kept
+    assert out["model"]["transformer"]["embed_dim"] == 32  # wrapper unwrapped
+    assert out["model"]["name"] == "vit"
+    assert out["training"]["batch_size"] == 8
+    assert cfg["dataset"] == "ds.yaml"  # input untouched (copy semantics)

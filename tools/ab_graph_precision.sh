@@ -7,25 +7,29 @@
 # PASS = final top-1 within 0.5 pts.
 #
 # usage: tools/ab_graph_precision.sh  (on the TPU host; ~25 min)
+# All knobs overridable via env (AB_K/AB_M/AB_MAXF/AB_EPOCHS/AB_RUN/AB_BS)
+# so the mechanics can be smoke-tested off-chip at toy scale.
 set -e
 cd "$(dirname "$0")/.."
-RUN=run/ab_gp
+RUN=${AB_RUN:-run/ab_gp}
 SEED=0
-K=100
-M=1024
-MAXF=400000
+K=${AB_K:-100}
+M=${AB_M:-1024}
+MAXF=${AB_MAXF:-400000}
+EPOCHS=${AB_EPOCHS:-3}
+BS=${AB_BS:-256}
 
 echo "== stage 0: backbone fine-tune (2 epochs, scratch) =="
 python -m schemanet_tpu.cli train --worker backbone_worker \
   --cfg configs/synthetic/vanilla/deit_tiny.yaml --log-dir $RUN/vanilla \
-  --seed $SEED -o dataset.num_classes=$K -o training.train_epochs=2 \
-  -o training.val_interval=100000 -o training.batch_size=256
+  --seed $SEED -o dataset.num_classes=$K -o training.train_epochs=$EPOCHS \
+  -o training.val_interval=100000 -o training.batch_size=$BS
 
 echo "== stage 1: codebook extraction =="
 python -m schemanet_tpu.cli extract \
   --cfg configs/synthetic/ingredient/deit_tiny-l9-M_128.yaml \
   --ckpt $RUN/vanilla/ckpt/best --save-path $RUN/ingredient \
-  --max-features $MAXF --batch-size 256 --dtype bfloat16 \
+  --max-features $MAXF --batch-size $BS --dtype bfloat16 \
   --seed $SEED -o dataset.num_classes=$K -o discretization.vocabulary.size=$M
 
 echo "== stage 2: bundle export =="
@@ -39,7 +43,7 @@ python -m schemanet_tpu.cli export \
 echo "== stage 3: IR-Atlas init =="
 python -m schemanet_tpu.cli init \
   --cfg configs/synthetic/schema_net/deit_tiny-l9-M_128.yaml \
-  --save-fp $RUN/init_IR_atlas.msgpack --batch-size 128 \
+  --save-fp $RUN/init_IR_atlas.msgpack --batch-size $BS \
   --seed $SEED -o dataset.num_classes=$K -o schema_net.bundle=$RUN/ingredient/bundle
 
 for P in default highest; do
@@ -51,7 +55,7 @@ for P in default highest; do
     -o schema_net.bundle=$RUN/ingredient/bundle \
     -o schema_net.initial_state_fp=$RUN/init_IR_atlas.msgpack \
     -o schema_net.ir_atlas.graph_precision=$P \
-    -o training.train_epochs=3 2>&1 | tee $RUN/schema_$P.stdout
+    -o training.train_epochs=$EPOCHS 2>&1 | tee $RUN/schema_$P.stdout
 done
 
 echo "== A/B result =="
