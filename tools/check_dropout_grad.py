@@ -1,0 +1,86 @@
+"""On-chip validation of the in-kernel attention dropout (ops/pallas/attention).
+
+The dropout mask is regenerated in the backward kernel from the same
+(seed, item, head) PRNG stream instead of being stored — a property that
+CANNOT be tested off-chip (pltpu.prng_* has no CPU/interpret lowering), so
+this tool runs the three checks on real hardware:
+
+1. determinism: same seed -> bit-identical forward output;
+2. seed sensitivity: different seed -> different output;
+3. gradient through the mask: with the seed fixed the function is smooth in
+   qkv (the mask depends on the seed only, not on values), so a central
+   finite difference along a random direction must match <grad, v>. This
+   fails loudly if the backward kernel's regenerated mask ever diverged from
+   the forward's.
+
+Usage: python tools/check_dropout_grad.py   (prints PASS/FAIL lines; rc != 0 on FAIL)
+"""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from schemanet_tpu.ops.pallas.attention import fused_mhsa
+
+    H, d, n, bs = 3, 64, 197, 8
+    p = 0.1
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(bs, n, 3 * H * d)).astype(np.float32))
+    w = jnp.asarray(rng.normal(size=(bs, n, H * d)).astype(np.float32))
+
+    def f(qkv, seed):
+        return jnp.sum(fused_mhsa(qkv, H, dropout_p=p, seed=seed) * w)
+
+    fj = jax.jit(f)
+    ok = True
+
+    o1 = np.asarray(fj(x, 123))
+    o2 = np.asarray(fj(x, 123))
+    det = o1 == o2
+    print(f"{'PASS' if det else 'FAIL'} determinism: f(seed=123) twice -> {o1} vs {o2}")
+    ok &= bool(det)
+
+    o3 = np.asarray(fj(x, 124))
+    sens = o1 != o3
+    print(f"{'PASS' if sens else 'FAIL'} seed sensitivity: seed 123 {o1} vs 124 {o3}")
+    ok &= bool(sens)
+
+    g = jax.jit(jax.grad(f))(x, 123)
+    v = jnp.asarray(rng.normal(size=x.shape).astype(np.float32))
+    v = v / jnp.linalg.norm(v)
+    eps = 0.05
+    fd = (float(fj(x + eps * v, 123)) - float(fj(x - eps * v, 123))) / (2 * eps)
+    an = float(jnp.vdot(g, v))
+    rel = abs(fd - an) / max(abs(fd), abs(an), 1e-9)
+    grad_ok = rel < 2e-2
+    print(
+        f"{'PASS' if grad_ok else 'FAIL'} dropout-path gradient: "
+        f"finite-diff {fd:.6f} vs <grad,v> {an:.6f} (rel {rel:.2e})"
+    )
+    ok &= bool(grad_ok)
+
+    # mask scaling sanity: E[dropout(s)] == s, so averaging over many seeds the
+    # dropped output should approach the dropout-free one
+    o_nodrop = float(jax.jit(lambda q: jnp.sum(fused_mhsa(q, H) * w))(x))
+    o_mean = float(np.mean([float(fj(x, s)) for s in range(200, 232)]))
+    drift = abs(o_mean - o_nodrop) / max(abs(o_nodrop), 1e-9)
+    mean_ok = drift < 5e-2
+    print(
+        f"{'PASS' if mean_ok else 'FAIL'} inverted-scaling mean: "
+        f"mean-over-32-seeds {o_mean:.2f} vs dropout-free {o_nodrop:.2f} (drift {drift:.2e})"
+    )
+    ok &= bool(mean_ok)
+
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())
