@@ -79,6 +79,43 @@ def main():
     )
     ok &= bool(mean_ok)
 
+    # --- same properties for the fused FFN's in-kernel dropout (mlp.py keys
+    # its mask on (seed, program); fwd under dropout uses the bwd row-block
+    # size so the streams align — validate that empirically too) ---
+    from schemanet_tpu.ops.pallas.mlp import fused_mlp
+
+    dd, ff = H * d, 4 * H * d
+    w1 = jnp.asarray(rng.normal(size=(dd, ff)).astype(np.float32) * 0.05)
+    b1 = jnp.asarray(rng.normal(size=(ff,)).astype(np.float32) * 0.05)
+    w2 = jnp.asarray(rng.normal(size=(ff, dd)).astype(np.float32) * 0.05)
+    b2 = jnp.asarray(rng.normal(size=(dd,)).astype(np.float32) * 0.05)
+    xm = jnp.asarray(rng.normal(size=(bs, n, dd)).astype(np.float32))
+    wm = jnp.asarray(rng.normal(size=(bs, n, dd)).astype(np.float32))
+
+    def fm(xx, seed):
+        return jnp.sum(fused_mlp(xx, w1, b1, w2, b2, dropout_p=p, seed=seed) * wm)
+
+    fmj = jax.jit(fm)
+    m1, m2, m3 = np.asarray(fmj(xm, 7)), np.asarray(fmj(xm, 7)), np.asarray(fmj(xm, 8))
+    det = m1 == m2
+    sens = m1 != m3
+    print(f"{'PASS' if det else 'FAIL'} ffn determinism: {m1} vs {m2}")
+    print(f"{'PASS' if sens else 'FAIL'} ffn seed sensitivity: {m1} vs {m3}")
+    ok &= bool(det) and bool(sens)
+
+    gm = jax.jit(jax.grad(fm))(xm, 7)
+    vm = jnp.asarray(rng.normal(size=xm.shape).astype(np.float32))
+    vm = vm / jnp.linalg.norm(vm)
+    fd = (float(fmj(xm + eps * vm, 7)) - float(fmj(xm - eps * vm, 7))) / (2 * eps)
+    an = float(jnp.vdot(gm, vm))
+    rel = abs(fd - an) / max(abs(fd), abs(an), 1e-9)
+    grad_ok = rel < 2e-2
+    print(
+        f"{'PASS' if grad_ok else 'FAIL'} ffn dropout-path gradient: "
+        f"finite-diff {fd:.6f} vs <grad,v> {an:.6f} (rel {rel:.2e})"
+    )
+    ok &= bool(grad_ok)
+
     return 0 if ok else 1
 
 
