@@ -279,7 +279,15 @@ class GraphConv(nn.Module):
     @nn.compact
     def __call__(self, edges: jnp.ndarray, feat: jnp.ndarray) -> jnp.ndarray:
         # edges: [bs, n, n] raw, feat: [bs, n, dim]
-        feat = _sym_conv(edges.astype(feat.dtype), feat)
+        from ..ops.pallas.graphconv import graphconv_backend, sym_conv
+
+        backend = graphconv_backend()
+        if backend in ("pallas", "interpret"):
+            # opt-in fused kernel: E_sym/t never round-trip HBM (see
+            # ops/pallas/graphconv.py); numerics match _sym_conv
+            feat = sym_conv(edges.astype(feat.dtype), feat, backend == "interpret")
+        else:
+            feat = _sym_conv(edges.astype(feat.dtype), feat)
         if self.identity_proj:
             return feat
         return nn.Dense(
