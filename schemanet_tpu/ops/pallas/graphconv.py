@@ -130,6 +130,26 @@ def graphconv_backend() -> str:
     """'pallas' | 'interpret' | 'xla' — SCHEMANET_GRAPHCONV_BACKEND.
 
     Default 'xla' (the measured-good `_sym_conv` path); 'pallas' opts the
-    class/instance GraphConv into this fused kernel on TPU-like platforms.
+    GraphConv into this fused kernel on TPU-like platforms.
     """
     return os.environ.get("SCHEMANET_GRAPHCONV_BACKEND", "xla")
+
+
+def shape_fits_kernel(v: int, d: int, itemsize: int = 2) -> bool:
+    """Whether a [*, v, v] x [*, v, d] conv is worth one-graph-per-program.
+
+    Two static gates (shapes are trace-time constants):
+    * enough work per program to amortise the ~1.5 us DMA setup — instance
+      graphs (v=196, ~0.08 GFLOP) are overhead-bound at bs>=512 and stay on
+      the batched XLA dot; ImageNet class graphs (0.5 GFLOP) qualify;
+    * VMEM: the backward holds the e/f/g/df/de blocks plus E_sym and an fp32
+      t + its transpose — at v=1024 (CIFAR class graphs) that overflows the
+      16 MB scoped-VMEM budget, so those also stay on XLA.
+    """
+    flops = 2 * v * v * d
+    vmem = (
+        3 * v * v * itemsize      # e block + E_sym + de
+        + 3 * v * d * itemsize    # f, g, df
+        + 2 * v * v * 4           # fp32 t and its transpose
+    )
+    return flops >= int(2e8) and vmem <= 11 * 1024 * 1024

@@ -279,12 +279,20 @@ class GraphConv(nn.Module):
     @nn.compact
     def __call__(self, edges: jnp.ndarray, feat: jnp.ndarray) -> jnp.ndarray:
         # edges: [bs, n, n] raw, feat: [bs, n, dim]
-        from ..ops.pallas.graphconv import graphconv_backend, sym_conv
+        from ..ops.pallas.graphconv import (
+            graphconv_backend,
+            shape_fits_kernel,
+            sym_conv,
+        )
 
         backend = graphconv_backend()
-        if backend in ("pallas", "interpret"):
+        if backend in ("pallas", "interpret") and shape_fits_kernel(
+            edges.shape[-1], feat.shape[-1], feat.dtype.itemsize
+        ):
             # opt-in fused kernel: E_sym/t never round-trip HBM (see
-            # ops/pallas/graphconv.py); numerics match _sym_conv
+            # ops/pallas/graphconv.py); numerics match _sym_conv. The shape
+            # gate keeps small instance graphs (per-program overhead-bound)
+            # and VMEM-overflowing giants on the batched XLA dot.
             feat = sym_conv(edges.astype(feat.dtype), feat, backend == "interpret")
         else:
             feat = _sym_conv(edges.astype(feat.dtype), feat)

@@ -65,9 +65,21 @@ def test_fwd_bwd_parity_bf16(rng):
     )
 
 
+def test_shape_gate():
+    """The dispatch gate admits ImageNet class graphs, rejects per-program-
+    overhead-bound instance graphs and VMEM-overflowing CIFAR class graphs."""
+    from schemanet_tpu.ops.pallas.graphconv import shape_fits_kernel
+
+    assert shape_fits_kernel(500, 1024, 2)       # ImageNet class graphs
+    assert not shape_fits_kernel(196, 1024, 2)   # instance graphs (overhead)
+    assert not shape_fits_kernel(1024, 256, 2)   # CIFAR class graphs (VMEM)
+
+
 def test_graphconv_module_dispatch(rng, monkeypatch):
-    """GraphConv routes through the fused kernel when the env selects it,
-    with identical params and (fp32) identical outputs/grads."""
+    """GraphConv routes through the fused kernel when the env selects it
+    (gate forced open for the toy shape), with identical params and (fp32)
+    identical outputs/grads."""
+    import schemanet_tpu.ops.pallas.graphconv as gc
     from schemanet_tpu.schema.gnn import GraphConv
 
     k, v, d = 3, 24, 16
@@ -77,6 +89,7 @@ def test_graphconv_module_dispatch(rng, monkeypatch):
     mod = GraphConv(out_dim=d)
     params = mod.init(jax.random.PRNGKey(0), e, f)["params"]
 
+    monkeypatch.setattr(gc, "shape_fits_kernel", lambda *a, **kw: True)
     monkeypatch.delenv("SCHEMANET_GRAPHCONV_BACKEND", raising=False)
     out_x = mod.apply({"params": params}, e, f)
     g_x = jax.grad(lambda p: (mod.apply({"params": p}, e, f) ** 2).sum())(params)
