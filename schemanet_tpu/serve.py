@@ -60,14 +60,22 @@ class ServePredictor:
             ingredients = out["ingredients"]  # [bs, L]
             class_vertices = out["class_vertices"]  # [K, V_max]
             class_ingredients = out["class_ingredients"]  # [K, V_max]
-            # token t contributes to class k with the atlas weight of its code's
-            # slot in class k (0 when absent): match codes against each class row
-            match = (
-                ingredients[:, None, :, None] == class_ingredients[None, :, None, :]
-            )  # [bs, K, L, V_max]
-            attribution = jnp.einsum(
-                "bklv,kv->bkl", match.astype(jnp.float32), class_vertices
-            )
+            # token t contributes to class k with the atlas weight of its
+            # code's slot(s) in class k (0 when absent). Computed via a
+            # [K, M+1] code->weight table + gather instead of the literal
+            # [bs, K, L, V_max] match tensor, which is ~25 GB at ImageNet
+            # serving scale (bs=64, K=1000, L=196, V_max=500); the scatter-add
+            # sums duplicate slots exactly like the match-einsum did.
+            K, _ = class_vertices.shape
+            M = self.predictor.num_codes
+            code_weight = (
+                jnp.zeros((K, M + 1), jnp.float32)
+                .at[jnp.arange(K)[:, None], class_ingredients]
+                .add(class_vertices.astype(jnp.float32))
+            )  # [K, M+1] (padding row M absorbs padded slots)
+            attribution = jnp.transpose(
+                code_weight[:, ingredients], (1, 0, 2)
+            )  # [bs, K, L]
             bs = ingredients.shape[0]
             attribution = attribution.reshape(bs, -1, c.feat_h, c.feat_w)
             return {
