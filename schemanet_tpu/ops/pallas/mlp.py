@@ -16,10 +16,13 @@ is NEVER stored), computes dx in the same pass, and accumulates dw1/db1/dw2/
 db2 across the sequential grid in revisited fp32 output blocks.
 
 The reference's FFN dropout (between activation and fc2, layers/mlp.py:8-33)
-runs INSIDE the kernel with the TPU hardware PRNG, keyed on (seed, program):
-the backward regenerates the identical mask instead of storing it. When
-``dropout_p > 0`` forward and backward use the same row-block size so the
-(program, position) -> mask mapping matches.
+runs INSIDE the kernel with the TPU hardware PRNG, keyed on
+(seed, absolute-row-chunk): masks are generated per fixed _DROP_CHUNK-row
+chunk, so the (position -> mask) mapping is independent of the block size
+and the backward regenerates the identical mask instead of storing it —
+while forward keeps its LARGE row blocks under dropout (a (seed, program)
+keying would force fwd onto the backward's small blocks; that cost ~6x the
+program count across the 12 stage-0 layers).
 
 Numerics match ``flax.linen.Dense`` with the module compute dtype: operands
 are cast to the compute dtype outside the kernel, the MXU accumulates in fp32
@@ -110,6 +113,32 @@ def _ffn_keep_mask(shape, dropout_p):
     return u >= dropout_p
 
 
+# rows per dropout PRNG stream: every block size is a multiple of this (see
+# _fwd_rows/_bwd_rows), so fwd and bwd tile the same absolute-row chunks
+_DROP_CHUNK = 256
+
+
+def _apply_ffn_dropout(h, seed_ref, dropout_p, inv=None):
+    """Regenerate the per-chunk dropout masks for this block and apply them.
+
+    Chunk c of this block covers absolute rows
+    [pid * block_rows + c * _DROP_CHUNK, ...), i.e. absolute chunk id
+    pid * (block_rows // _DROP_CHUNK) + c — the same stream regardless of
+    the caller's block size (both block sizes are _DROP_CHUNK multiples).
+    Returns where(keep, h * inv, 0) when ``inv`` is given (forward path) or
+    the raw keep mask when not (backward reuses it twice)."""
+    chunks = h.shape[0] // _DROP_CHUNK
+    base = pl.program_id(0) * chunks
+    keeps = []
+    for c in range(chunks):
+        pltpu.prng_seed(seed_ref[0], base + c)
+        keeps.append(_ffn_keep_mask((_DROP_CHUNK, h.shape[1]), dropout_p))
+    keep = jnp.concatenate(keeps, axis=0) if chunks > 1 else keeps[0]
+    if inv is None:
+        return keep
+    return jnp.where(keep, h * inv, 0.0)
+
+
 def _mlp_kernel(
     seed_ref, x_ref, w1_ref, b1_ref, w2_ref, b2_ref, out_ref, *, activation, dropout_p
 ):
@@ -123,9 +152,9 @@ def _mlp_kernel(
     h = jnp.dot(x, w1_ref[...], preferred_element_type=jnp.float32).astype(x.dtype)
     h = _kernel_activation(activation)(h + b1_ref[...])
     if dropout_p:
-        pltpu.prng_seed(seed_ref[0], pl.program_id(0))
-        keep = _ffn_keep_mask(h.shape, dropout_p)
-        h = jnp.where(keep, h * (1.0 / (1.0 - dropout_p)), 0.0).astype(x.dtype)
+        h = _apply_ffn_dropout(
+            h, seed_ref, dropout_p, inv=1.0 / (1.0 - dropout_p)
+        ).astype(x.dtype)
     y = jnp.dot(h, w2_ref[...], preferred_element_type=jnp.float32).astype(x.dtype)
     out_ref[...] = (y + b2_ref[...]).astype(out_ref.dtype)
 
@@ -165,8 +194,7 @@ def _mlp_bwd_kernel(
     h_pre = h_pre + b1_ref[...]
     a = _kernel_activation(activation)(h_pre)
     if dropout_p:
-        pltpu.prng_seed(seed_ref[0], pl.program_id(0))
-        keep = _ffn_keep_mask(a.shape, dropout_p)
+        keep = _apply_ffn_dropout(a, seed_ref, dropout_p)
         inv = 1.0 / (1.0 - dropout_p)
         a_used = jnp.where(keep, a * inv, 0.0).astype(x.dtype)
     else:
@@ -212,7 +240,9 @@ def _bwd_rows(f: int) -> int:
 def _mlp_call(x, seed, w1, b1, w2, b2, activation, dropout_p, interpret):
     bs, n, d = x.shape
     f = w1.shape[1]
-    rows = _bwd_rows(f) if dropout_p else _fwd_rows(f, x.dtype.itemsize)
+    # dropout no longer constrains the forward block size: masks are keyed on
+    # absolute _DROP_CHUNK-row chunks, identical under any chunk-multiple block
+    rows = _fwd_rows(f, x.dtype.itemsize)
     xr = x.reshape(bs * n, d)  # free bitcast
     out = pl.pallas_call(
         functools.partial(_mlp_kernel, activation=activation, dropout_p=dropout_p),
