@@ -89,3 +89,46 @@ def test_fused_mlp_gradient_parity(rng, bs, n):
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), rtol=2e-4, atol=1e-5, err_msg=nm
         )
+
+
+def test_dropout_path_lowers_for_tpu():
+    """The in-kernel dropout (PRNG) path has no CPU/interpret lowering, but
+    Mosaic conversion happens at trace time — so unsupported-op regressions
+    in the dropout fwd+bwd are catchable off-chip by lowering for TPU at the
+    stage-0 shape. (Mask correctness itself is pinned on hardware by
+    tools/check_dropout_grad.py.)"""
+    import jax
+
+    from schemanet_tpu.ops.pallas.mlp import fused_mlp
+
+    x = jnp.zeros((64, 197, 192), jnp.bfloat16)
+    w1 = jnp.zeros((192, 768), jnp.bfloat16)
+    b1 = jnp.zeros((768,), jnp.bfloat16)
+    w2 = jnp.zeros((768, 192), jnp.bfloat16)
+    b2 = jnp.zeros((192,), jnp.bfloat16)
+
+    def f(q):
+        return jax.grad(
+            lambda t: jnp.sum(
+                fused_mlp(t, w1, b1, w2, b2, dropout_p=0.1, seed=7).astype(jnp.float32)
+            )
+        )(q)
+
+    jax.jit(f).trace(x).lower(lowering_platforms=("tpu",))
+
+
+def test_attention_dropout_path_lowers_for_tpu():
+    import jax
+
+    from schemanet_tpu.ops.pallas.attention import fused_mhsa
+
+    qkv = jnp.zeros((16, 197, 3 * 3 * 64), jnp.bfloat16)
+
+    def f(q):
+        return jax.grad(
+            lambda t: jnp.sum(
+                fused_mhsa(t, 3, dropout_p=0.1, seed=5).astype(jnp.float32)
+            )
+        )(q)
+
+    jax.jit(f).trace(qkv).lower(lowering_platforms=("tpu",))
