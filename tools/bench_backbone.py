@@ -25,6 +25,10 @@ import optax
 
 
 def main():
+    if os.environ.get("BENCH_FORCE_CPU") == "1":  # off-chip smoke runs
+        import jax as _jax
+
+        _jax.config.update("jax_platforms", "cpu")
     model_name = os.environ.get("BENCH_MODEL", "tiny")
     dims = {"tiny": (192, 3, 768), "small": (384, 6, 1536)}[model_name]
     embed, heads, ff = dims
