@@ -109,3 +109,40 @@ def test_build_predictor_threads_knob():
         encode_layer=1,
     )
     assert p.cfg.remat_class_gnn is True
+
+
+def test_all_round3_knobs_compose(rng, monkeypatch):
+    """remat_class_gnn + fused GraphConv (interpret) + fused LN (interpret)
+    together match the plain XLA Matcher in value and every param gradient."""
+    import schemanet_tpu.ops.pallas.graphconv as gc
+
+    M = 50
+    ci, atlas, instance = _toy_batch(rng, M=M)
+    kw = dict(similarity="inner_product", num_codes=M, embed_dim=32, num_layers=2)
+    plain = Matcher(**kw)
+    fused = Matcher(**kw, remat_class_gnn=True, static_class_ids=StaticIds(ci))
+    params = plain.init(jax.random.PRNGKey(0), instance, atlas)["params"]
+
+    out_p = plain.apply({"params": params}, instance, atlas)
+    g_p = jax.grad(lambda p: (plain.apply({"params": p}, instance, atlas) ** 2).sum())(
+        params
+    )
+
+    monkeypatch.setenv("SCHEMANET_GRAPHCONV_BACKEND", "interpret")
+    monkeypatch.setenv("SCHEMANET_LN_BACKEND", "interpret")
+    monkeypatch.setattr(gc, "shape_fits_kernel", lambda *a, **kw_: True)
+    out_f = fused.apply({"params": params}, instance, atlas)
+    g_f = jax.grad(lambda p: (fused.apply({"params": p}, instance, atlas) ** 2).sum())(
+        params
+    )
+
+    np.testing.assert_allclose(np.asarray(out_f), np.asarray(out_p), rtol=1e-4, atol=1e-5)
+    for (kp, a), (_, b) in zip(
+        jax.tree_util.tree_leaves_with_path(g_p), jax.tree_util.tree_leaves_with_path(g_f)
+    ):
+        # three different fp32 accumulation orders (banded static-embed
+        # backward, Pallas LN partials, fused conv) -> ULP-scale noise only
+        np.testing.assert_allclose(
+            np.asarray(b), np.asarray(a), rtol=1e-3, atol=5e-4,
+            err_msg=jax.tree_util.keystr(kp),
+        )
