@@ -241,8 +241,13 @@ def _mlp_call(x, seed, w1, b1, w2, b2, activation, dropout_p, interpret):
     bs, n, d = x.shape
     f = w1.shape[1]
     # dropout no longer constrains the forward block size: masks are keyed on
-    # absolute _DROP_CHUNK-row chunks, identical under any chunk-multiple block
+    # absolute _DROP_CHUNK-row chunks, identical under any chunk-multiple
+    # block. Dropout-live blocks are capped at 768 rows (vs 1536) as VMEM
+    # headroom for the in-kernel mask temps — still 3x fewer programs than
+    # the old (seed, program) keying forced (256).
     rows = _fwd_rows(f, x.dtype.itemsize)
+    if dropout_p:
+        rows = min(rows, int(os.environ.get("SCHEMANET_MLP_DROP_ROWS", 768)))
     xr = x.reshape(bs * n, d)  # free bitcast
     out = pl.pallas_call(
         functools.partial(_mlp_kernel, activation=activation, dropout_p=dropout_p),
