@@ -60,6 +60,8 @@ def build_parser() -> argparse.ArgumentParser:
     p_extract.add_argument("--saved-features-fp", type=str, default=None)
     p_extract.add_argument("--dtype", type=str, default="float32",
                            help="backbone compute dtype (bfloat16 for speed; fp32 = reference parity)")
+    p_extract.add_argument("--quant-int8", action="store_true",
+                           help="W8A8 PTQ backbone forward (2x MXU rate on v5e; ops/quant.py)")
 
     p_export = sub.add_parser("export", help="stage 2: export frozen bundle")
     _common_flags(p_export)
@@ -207,6 +209,7 @@ def cmd_extract(args):
             ),
             seed=args.seed,
             mesh=_stage_mesh(args),
+            quant=args.quant_int8,
         )
         n_feats = args.max_features
     save_fp = os.path.join(args.save_path, f"cluster_{num_clusters}_from_{n_feats}.npy")

@@ -91,6 +91,7 @@ class MultiHeadSelfAttention(nn.Module):
         attn_mask: Optional[jnp.ndarray] = None,
         deterministic: bool = True,
         fused: bool = False,
+        quant: bool = False,
     ) -> Tuple[jnp.ndarray, Optional[jnp.ndarray], Optional[jnp.ndarray]]:
         assert self.embed_dim % self.num_heads == 0
         bs, n, dim = seq.shape
@@ -112,10 +113,22 @@ class MultiHeadSelfAttention(nn.Module):
             bias_init=nn.initializers.zeros,
             name="linear_out",
         )
+        if quant and not self.is_initializing():
+            # W8A8 PTQ of the projections (frozen-backbone inference only —
+            # extraction/eval/serving; ops/quant.py): the score math below is
+            # untouched and still takes the fused Pallas path when available
+            from ..ops.quant import int8_dense
+
+            def project(dense, x):
+                _ = dense(x[:, :1])  # materialise params only (DCE'd)
+                return int8_dense(x, dense.variables["params"])
+
+        else:
+            project = lambda dense, x: dense(x)
         if self.detach_w_qk or self.detach_w_v:
             qkv = self._detached_qkv(dense_qkv, seq)
         else:
-            qkv = dense_qkv(seq)
+            qkv = project(dense_qkv, seq)
         if (
             fused
             and not self.is_initializing()  # init may run on a host device
@@ -149,7 +162,7 @@ class MultiHeadSelfAttention(nn.Module):
                     out = fused_mhsa(
                         qkv, self.num_heads, interpret=backend == "interpret"
                     )
-                return dense_out(out), None, None
+                return project(dense_out, out), None, None
         qkv = qkv.reshape(bs, n, 3, self.num_heads, head_dim)
         q, k, v = (
             jnp.moveaxis(qkv[:, :, i], 1, 2) for i in range(3)
@@ -167,7 +180,7 @@ class MultiHeadSelfAttention(nn.Module):
             dropout_rng=dropout_rng,
         )
         out = jnp.moveaxis(out, 1, 2).reshape(bs, n, self.embed_dim)
-        return dense_out(out), attn, attn_raw
+        return project(dense_out, out), attn, attn_raw
 
     def _detached_qkv(self, dense_qkv: nn.Dense, seq: jnp.ndarray) -> jnp.ndarray:
         """Apply the fused projection with per-block stop_gradient on the

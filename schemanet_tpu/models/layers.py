@@ -118,29 +118,47 @@ class MLP(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
+    def __call__(
+        self, x: jnp.ndarray, deterministic: bool = True, quant: bool = False
+    ) -> jnp.ndarray:
         # ref bias init: normal(mean=1e-6) — irrelevant under pretrained load,
         # replicated for from-scratch statistical parity.
         bias_init = lambda key, shape, dtype=jnp.float32: (
             1e-6 + jax.random.normal(key, shape, dtype)
         )
-        x = nn.Dense(
-            self.dim_feedforward,
-            dtype=self.dtype,
-            kernel_init=nn.initializers.xavier_uniform(),
-            bias_init=bias_init,
-            name="linear1",
-        )(x)
+        if quant and not self.is_initializing():
+            # W8A8 PTQ (frozen-backbone inference; ops/quant.py)
+            from ..ops.quant import int8_dense
+
+            def apply(dense, x):
+                _ = dense(x[:, :1] if x.ndim == 3 else x[:1])
+                return int8_dense(x, dense.variables["params"])
+
+        else:
+            apply = lambda dense, x: dense(x)
+        x = apply(
+            nn.Dense(
+                self.dim_feedforward,
+                dtype=self.dtype,
+                kernel_init=nn.initializers.xavier_uniform(),
+                bias_init=bias_init,
+                name="linear1",
+            ),
+            x,
+        )
         x = get_activation(self.activation)(x)
         if self.dropout:
             x = nn.Dropout(self.dropout)(x, deterministic=deterministic)
-        x = nn.Dense(
-            self.embed_dim,
-            dtype=self.dtype,
-            kernel_init=nn.initializers.xavier_uniform(),
-            bias_init=bias_init,
-            name="linear2",
-        )(x)
+        x = apply(
+            nn.Dense(
+                self.embed_dim,
+                dtype=self.dtype,
+                kernel_init=nn.initializers.xavier_uniform(),
+                bias_init=bias_init,
+                name="linear2",
+            ),
+            x,
+        )
         return x
 
 

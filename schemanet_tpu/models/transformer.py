@@ -44,6 +44,7 @@ class EncoderLayer(nn.Module):
         deterministic: bool = True,
         fused: bool = False,
         fused_ln: Optional[bool] = None,  # LN fusion is probe-independent
+        quant: bool = False,  # W8A8 projections (frozen-forward only)
     ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
         fused_ln = fused if fused_ln is None else fused_ln
         attention = MultiHeadSelfAttention(
@@ -92,6 +93,11 @@ class EncoderLayer(nn.Module):
             # kernel's recompute VJP. FFN dropout runs in-kernel on the TPU
             # hardware PRNG (interpret mode stubs the PRNG, so dropout-live
             # calls keep the XLA path there).
+            if quant and not self.is_initializing():
+                # int8 fc1/fc2 beats the bf16 fused-FFN kernel at the MXU's
+                # 2x int8 rate; hidden-state HBM traffic returns but at half
+                # the bytes (int8 dot output is the narrow [.., d] tensor)
+                return mlp(x, deterministic, quant=True)
             if fused_ln and not self.is_initializing():
                 from ..ops.pallas.mlp import fused_mlp, mlp_backend
 
@@ -126,7 +132,7 @@ class EncoderLayer(nn.Module):
         probes: Dict[str, jnp.ndarray] = {}
         if self.pre_norm:
             x, attn, attn_raw = attention(
-                apply_norm(norm1, seq), attn_mask, deterministic, fused
+                apply_norm(norm1, seq), attn_mask, deterministic, fused, quant
             )
             probes["resid1"] = seq + x
             seq = seq + dropped(x)
@@ -134,7 +140,7 @@ class EncoderLayer(nn.Module):
             probes["resid2"] = seq + x
             seq = seq + dropped(x)
         else:
-            x, attn, attn_raw = attention(seq, attn_mask, deterministic, fused)
+            x, attn, attn_raw = attention(seq, attn_mask, deterministic, fused, quant)
             x = apply_norm(norm1, x)
             probes["resid1"] = seq + x
             seq = seq + dropped(x)
@@ -198,6 +204,7 @@ class Transformer(nn.Module):
         start_layer: int = 0,
         end_layer: Optional[int] = None,
         fused_attention: Optional[bool] = None,
+        quant: bool = False,
     ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
         if fused_attention is None:
             # default-on where a fused backend is available: the kernels carry
@@ -217,7 +224,7 @@ class Transformer(nn.Module):
                 c in capture for c in (f"layers_{i}.attn", f"layers_{i}.attn_raw")
             )
             seq, probes = self.layers[i](
-                seq, attn_mask, deterministic, fused_i, fused_attention
+                seq, attn_mask, deterministic, fused_i, fused_attention, quant
             )
             for kind, value in probes.items():
                 probe_name = f"layers_{i}.{kind}"

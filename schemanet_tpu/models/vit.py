@@ -110,10 +110,12 @@ class ViT(nn.Module):
         deterministic: bool = True,
         capture: Tuple[str, ...] = (),
         fused_attention: bool = False,
+        quant: bool = False,
     ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
         """Run patchify + layers [0, end_layer) — the 'backbone' half of the
         reference's decoupled JIT export (the mid feature is the output of
-        ``layers_{end_layer-1}``)."""
+        ``layers_{end_layer-1}``). ``quant`` runs the projection matmuls W8A8
+        (frozen-forward inference only; ops/quant.py)."""
         seq = self.patch_embed(img)
         bs = seq.shape[0]
         seq = jnp.concatenate([self.prefix_tokens(bs), seq], axis=1)
@@ -124,6 +126,7 @@ class ViT(nn.Module):
             capture=capture,
             end_layer=end_layer,
             fused_attention=fused_attention,
+            quant=quant,
         )
 
     def resume_from_layer(
@@ -132,6 +135,7 @@ class ViT(nn.Module):
         start_layer: int,
         deterministic: bool = True,
         fused_attention: bool = False,
+        quant: bool = False,
     ) -> Dict[str, jnp.ndarray]:
         """Resume the encoder from the output of ``layers_{start_layer-1}`` and
         classify — the functional equivalent of the reference's cls_header JIT
@@ -142,6 +146,7 @@ class ViT(nn.Module):
             deterministic=deterministic,
             start_layer=start_layer,
             fused_attention=fused_attention,
+            quant=quant,
         )
         return self.head(seq, deterministic)
 

@@ -29,6 +29,7 @@ def collect_mid_features(
     max_features: int,
     as_iterator: bool = False,
     mesh=None,
+    quant: bool = False,
 ):
     """Yield [n, d] batches of mid-layer patch tokens (CLS stripped, like the
     reference Adapter) until max_features is reached.
@@ -47,7 +48,7 @@ def collect_mid_features(
         # Pallas attention on TPU backends
         seq, _ = model.apply(
             {"params": p}, image, encode_layer + 1, method="encode_until",
-            fused_attention=fused,
+            fused_attention=fused, quant=quant,
         )
         return seq[:, model.num_prefix_tokens :, :]  # strip CLS/dist tokens
 
@@ -94,6 +95,7 @@ def extract_codebook(
     lloyd_sample: int = 200_000,
     save_features_path: Optional[str] = None,
     mesh=None,
+    quant: bool = False,
 ) -> np.ndarray:
     """Stream features -> minibatch k-means -> optional Lloyd refinement on a
     held sample. Returns [M, d] float32 centers.
@@ -108,7 +110,7 @@ def extract_codebook(
         nonlocal held_count
         for chunk in collect_mid_features(
             model, params, loader, encode_layer, max_features, as_iterator=True,
-            mesh=mesh,
+            mesh=mesh, quant=quant,
         ):
             if held_count < lloyd_sample:
                 take = min(len(chunk), lloyd_sample - held_count)

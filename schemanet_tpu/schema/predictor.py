@@ -55,6 +55,10 @@ class IngredientBackbone(nn.Module):
     quantize: bool = True
     detach_input_seq: bool = True
     uniform_range: Tuple[float, float] = (-1.0, 1.0)
+    # W8A8 PTQ of the frozen backbone's projection matmuls (ops/quant.py) —
+    # forward-only by construction, which is exactly this module's contract
+    # (the backbone runs under stop_gradient); 2x MXU rate on v5e
+    quant_backbone: bool = False
 
     def setup(self):
         lo, hi = self.uniform_range
@@ -79,6 +83,7 @@ class IngredientBackbone(nn.Module):
             deterministic=True,
             capture=capture,
             fused_attention=_any_fused_backend(),
+            quant=self.quant_backbone,
         )
         mid_feat = jax.lax.stop_gradient(mid_feat)
         attn_raw = jax.lax.stop_gradient(captured[f"layers_{extract}.attn_raw"])
@@ -115,6 +120,7 @@ class IngredientBackbone(nn.Module):
             seq,
             self.encode_layer + 1,
             fused_attention=_any_fused_backend(),
+            quant=self.quant_backbone,
         )["pred"]
 
 
@@ -138,6 +144,8 @@ class SchemaNetConfig:
     # residuals — batch-independent recompute that buys batch size at
     # ImageNet atlas scale (schema/gnn.py Matcher.remat_class_gnn)
     remat_class_gnn: bool = False
+    # W8A8 PTQ of the frozen backbone (ops/quant.py); serving/eval/extraction
+    quant_backbone: bool = False
 
 
 class SchemaNetPredictor(nn.Module):
@@ -163,6 +171,7 @@ class SchemaNetPredictor(nn.Module):
             code_dim=self.code_dim,
             encode_layer=self.encode_layer,
             uniform_range=self.uniform_range,
+            quant_backbone=self.cfg.quant_backbone,
             name="ingredient_backbone",
         )
         self.schema_net = SchemaAtlas(self.cfg.atlas, name="schema_net")
@@ -271,6 +280,8 @@ def build_predictor(
         # YAML: schema_net.gnn.remat_class_gnn — recompute the class-GNN in
         # backward to free its ~GB residuals (worth it when HBM caps the batch)
         remat_class_gnn=gnn_cfg.get("remat_class_gnn", False),
+        # YAML: schema_net.quant_backbone — W8A8 frozen-backbone forward
+        quant_backbone=schema_cfg.get("quant_backbone", False),
     )
     return SchemaNetPredictor(
         backbone=backbone,

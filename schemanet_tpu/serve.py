@@ -30,6 +30,10 @@ class ServePredictor:
     params: Any
     buffers: Any
     microbatch: int = 64
+    # W8A8 PTQ of the frozen backbone half (ops/quant.py) — 2x MXU rate on
+    # v5e; gate with an accuracy check against quant_int8=False on real
+    # weights before production use
+    quant_int8: bool = False
 
     def __post_init__(self):
         variables = {"params": self.params, "buffers": self.buffers}
@@ -45,7 +49,11 @@ class ServePredictor:
         # Dense, and fc(s/d) + b is not a scalar multiple of fc(s/d') + b once
         # the trainable bias is nonzero.)
         serve_module = self.predictor.clone(
-            cfg=dataclasses.replace(self.predictor.cfg, per_sample_pooling=True)
+            cfg=dataclasses.replace(
+                self.predictor.cfg,
+                per_sample_pooling=True,
+                quant_backbone=self.quant_int8 or self.predictor.cfg.quant_backbone,
+            )
         )
 
         @jax.jit
@@ -146,6 +154,7 @@ def load_serve_predictor(
     ckpt_path: str,
     num_classes: int,
     microbatch: int = 64,
+    quant_int8: bool = False,
 ) -> ServePredictor:
     """Assemble a ServePredictor from a bundle + trained schema checkpoint."""
     from .pipeline.bundle import load_bundle
@@ -172,5 +181,6 @@ def load_serve_predictor(
     mgr = CheckpointManager(os.path.dirname(os.path.abspath(ckpt_path)))
     restored = mgr.restore(os.path.abspath(ckpt_path))  # full saved tree
     return ServePredictor(
-        predictor, restored["params"], restored["buffers"], microbatch=microbatch
+        predictor, restored["params"], restored["buffers"],
+        microbatch=microbatch, quant_int8=quant_int8,
     )

@@ -82,3 +82,18 @@ def test_explain_networkx(server, rng):
     g = server.explain_networkx(images, sample=0, node_topk=5, edge_topk=3)
     assert all(node < M for node in g.nodes)
     assert len(g.nodes) <= 5
+
+
+def test_serve_quant_int8_close(server, rng):
+    # W8A8 frozen-backbone serving (quant_int8=True): logits track the fp32
+    # server closely; this is the off-chip drift gate for the PTQ serve path
+    # (ops/quant.py; real-weight accuracy gating happens on hardware).
+    images = rng.normal(size=(6, 32, 32, 3)).astype(np.float32)
+    qserver = ServePredictor(
+        server.predictor, server.params, server.buffers, microbatch=4, quant_int8=True
+    )
+    ref = server.predict(images)
+    got = qserver.predict(images)
+    assert got.shape == ref.shape
+    rel = np.linalg.norm(got - ref) / max(np.linalg.norm(ref), 1e-9)
+    assert rel < 0.06, rel
