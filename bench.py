@@ -77,6 +77,11 @@ def main():
             # memory that OOMed bs=2048 at ImageNet scale (17.5/15.75 G HBM)
             "remat_class_gnn": os.environ.get("BENCH_REMAT_CLASS_GNN", "0") == "1",
         },
+        # BENCH_QUANT_BACKBONE=1: W8A8 int8 frozen-backbone forward inside
+        # the train step (ops/quant.py) — safe gradient-wise (the backbone
+        # runs under stop_gradient); measures the int8 MXU-rate win on the
+        # step's frozen-forward share
+        "quant_backbone": os.environ.get("BENCH_QUANT_BACKBONE", "0") == "1",
         "ir_atlas": dict(
             class_max_vertices=500 if scale == "imagenet" else None,
             dist_pow=2, feat_h=14, feat_w=14,

@@ -79,7 +79,11 @@ def main():
     rng = np.random.default_rng(0)
     results = {}
     for mb in sizes:
-        serve = ServePredictor(predictor, params, buffers, microbatch=mb)
+        serve = ServePredictor(
+            predictor, params, buffers, microbatch=mb,
+            # BENCH_QUANT=1: W8A8 int8 frozen-backbone serving (ops/quant.py)
+            quant_int8=os.environ.get("BENCH_QUANT") == "1",
+        )
         x = jax.device_put(
             rng.normal(size=(mb, 224, 224, 3)).astype(np.float32), jax.devices()[0]
         )
