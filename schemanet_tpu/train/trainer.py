@@ -33,6 +33,7 @@ from .common import (
     epoch_schedule,
     load_metadata,
     make_optimizer,
+    make_train_prng,
     merge_trees,
     save_metadata,
     split_by_labels,
@@ -158,7 +159,7 @@ class Trainer:
             params=train_params,
             buffers=buffers,
             opt_state=opt_state,
-            rng=jax.random.PRNGKey(seed),
+            rng=make_train_prng(seed),
         )
 
         self.epoch = 0

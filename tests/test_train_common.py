@@ -307,3 +307,32 @@ def test_worker_dtype_knob(tmp_path):
     # params remain fp32 master copies
     leaf = jax.tree_util.tree_leaves(out["trainer"].state.params)[0]
     assert leaf.dtype == jnp.float32
+
+
+def test_rbg_prng_knob(monkeypatch):
+    """SCHEMANET_PRNG_IMPL=rbg swaps the training PRNG stream to XLA's
+    RngBitGenerator; dropout masks stay valid (keep-rate ~1-p, scaled)."""
+    from schemanet_tpu.train.common import make_train_prng
+
+    monkeypatch.setenv("SCHEMANET_PRNG_IMPL", "rbg")
+    try:
+        k = make_train_prng(0)
+        assert k.shape == (4,)  # rbg key data (threefry would be (2,))
+        # split / fold_in / bernoulli all work on the rbg impl
+        a, b = jax.random.split(k)
+        sub = jax.random.fold_in(a, 3)
+        keep = jax.random.bernoulli(sub, 0.9, (4096,))
+        rate = float(np.mean(np.asarray(keep)))
+        assert 0.85 < rate < 0.95
+        # flax Dropout consumes the rbg stream end to end
+        import flax.linen as nn
+
+        drop = nn.Dropout(0.5)
+        x = jnp.ones((128, 64))
+        y = drop.apply({}, x, deterministic=False, rngs={"dropout": b})
+        vals = np.unique(np.asarray(y))
+        assert set(np.round(vals, 4)).issubset({0.0, 2.0})
+    finally:
+        jax.config.update("jax_default_prng_impl", "threefry2x32")
+    monkeypatch.delenv("SCHEMANET_PRNG_IMPL")
+    assert make_train_prng(0).shape == (2,)  # knob off -> default threefry

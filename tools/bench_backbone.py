@@ -82,7 +82,9 @@ def main():
         updates, opt_state = tx.update(grads, opt_state, params)
         return optax.apply_updates(params, updates), opt_state, key, loss
 
-    key = jax.random.PRNGKey(1)
+    from schemanet_tpu.train.common import make_train_prng
+
+    key = make_train_prng(1)  # SCHEMANET_PRNG_IMPL=rbg to A/B the dropout PRNG
     # warmup (compile + axon one-time costs); host fetch to time truthfully
     for _ in range(5):
         params, opt_state, key, loss = train_step(params, opt_state, key, x, y)
