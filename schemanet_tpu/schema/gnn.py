@@ -335,9 +335,16 @@ class GNNLayer(nn.Module):
         # ops/pallas/layernorm.py). Params stay owned by nn.LayerNorm (same
         # ckpt tree); differentiable via the kernel's custom VJP.
         if not self.is_initializing():
+            import os
+
             from ..ops.pallas.layernorm import fused_layernorm, layernorm_backend
 
-            backend = layernorm_backend()
+            # SCHEMANET_GNN_LN_BACKEND overrides just this site (A/B the GNN
+            # tail independently of the backbone LN); default follows the
+            # global LN backend gate.
+            backend = os.environ.get("SCHEMANET_GNN_LN_BACKEND") or layernorm_backend()
+            if backend == "auto":
+                backend = layernorm_backend()
             if backend in ("pallas", "interpret"):
                 _ = norm(feat[:1, :1])  # materialise params only (DCE'd)
                 p = norm.variables["params"]
