@@ -1,0 +1,69 @@
+#!/bin/sh
+# Re-run individual campaign steps with a TPU-probe + retry wrapper (the axon
+# tunnel flaps; a step that lands in a down-window fails fast with a CPU
+# backend error). Usage: sh tools/campaign_retry.sh C D E ...
+# Steps mirror tools/chip_campaign.sh; results append to the same log.
+cd /root/repo
+L=/tmp/chip_campaign.log
+
+probe() {
+  # wait until the chip answers (up to ~30 min), probing every 60 s
+  i=0
+  while [ $i -lt 30 ]; do
+    if timeout 120 python -c "import jax; assert jax.devices()[0].platform != 'cpu'" 2>/dev/null; then
+      return 0
+    fi
+    i=$((i + 1))
+    sleep 60
+  done
+  return 1
+}
+
+run_step() {
+  # $1 = step id, $2 = marker, $3 = tail lines, rest = command
+  sid=$1; marker=$2; keep=$3; shift 3
+  for attempt in 1 2 3; do
+    probe || { echo "--- [$sid] SKIPPED: chip never came back ---" >> $L; return 1; }
+    out=/tmp/step_${sid}_a${attempt}.log
+    timeout 2400 "$@" > "$out" 2>&1
+    if grep -q "$marker" "$out"; then
+      echo "--- [$sid] retry OK (attempt $attempt) ---" >> $L
+      tail -n "$keep" "$out" >> $L
+      return 0
+    fi
+  done
+  echo "--- [$sid] FAILED after 3 attempts (see $out) ---" >> $L
+  tail -n 20 "$out" >> $L
+  return 1
+}
+
+for s in "$@"; do
+  case $s in
+    A) run_step A '"metric"' 3 python bench.py ;;
+    B) run_step B '"metric"' 3 env BENCH_SCALE=imagenet python bench.py ;;
+    C) run_step C 'img/s' 2 python tools/bench_backbone.py ;;
+    D) run_step D '"metric"' 3 env BENCH_SCALE=imagenet BENCH_BATCH=2048 BENCH_REMAT_CLASS_GNN=1 BENCH_IMAGE_BF16=1 python bench.py ;;
+    E) run_step E '"metric"' 3 env BENCH_SCALE=imagenet SCHEMANET_GRAPHCONV_BACKEND=pallas python bench.py ;;
+    F) run_step F 'TOTAL\|tflops\|bound' 30 python tools/profile_step.py --scale imagenet ;;
+    G) run_step G 'TOTAL\|tflops\|bound' 30 python tools/profile_step.py ;;
+    H) run_step H '"metric"' 3 env BENCH_SCALE=imagenet BENCH_BATCH=2048 BENCH_REMAT_CLASS_GNN=1 SCHEMANET_GRAPHCONV_BACKEND=pallas BENCH_IMAGE_BF16=1 python bench.py ;;
+    I) run_step I '"metric"' 3 env BENCH_SCALE=imagenet BENCH_BATCH=1536 BENCH_REMAT_CLASS_GNN=1 python bench.py ;;
+    J) run_step J '"metric"' 3 env BENCH_SCALE=imagenet BENCH_REMAT=none BENCH_REMAT_CLASS_GNN=1 python bench.py ;;
+    K) run_step K '"metric"' 3 env BENCH_SCALE=imagenet BENCH_BATCH=1024 BENCH_REMAT_CLASS_GNN=1 python bench.py ;;
+    L) run_step L '"metric"' 3 env BENCH_SCALE=imagenet BENCH_STATIC_IDS=0 python bench.py ;;
+    M) run_step M 'PASS\|FAIL' 9 python tools/check_dropout_grad.py ;;
+    N) run_step N 'p50' 2 python tools/bench_serve.py ;;
+    O) run_step O 'img/s' 2 env BENCH_PROFILE=/tmp/xprof_stage0 python tools/bench_backbone.py ;;
+    Q) run_step Q 'img/s' 2 python tools/bench_extract.py ;;
+    R) run_step R 'img/s' 2 env BENCH_QUANT=1 python tools/bench_extract.py ;;
+    S) run_step S '"metric"' 3 env BENCH_QUANT_BACKBONE=1 python bench.py ;;
+    T) run_step T '"metric"' 3 env BENCH_SCALE=imagenet BENCH_QUANT_BACKBONE=1 python bench.py ;;
+    U) run_step U 'p50' 2 env BENCH_QUANT=1 python tools/bench_serve.py ;;
+    AB1) run_step AB1 '"metric"' 3 env SCHEMANET_GNN_LN_BACKEND=xla python bench.py ;;
+    AB2) run_step AB2 '"metric"' 3 env BENCH_STATIC_IDS=0 python bench.py ;;
+    AB3) run_step AB3 '"metric"' 3 env SCHEMANET_GNN_LN_BACKEND=xla BENCH_STATIC_IDS=0 python bench.py ;;
+    AB4) run_step AB4 'img/s' 2 env SCHEMANET_PRNG_IMPL=rbg python tools/bench_backbone.py ;;
+    *) echo "unknown step $s" ;;
+  esac
+done
+echo "=== retry batch done ($*) $(date) ===" >> $L
