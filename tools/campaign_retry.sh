@@ -63,6 +63,7 @@ for s in "$@"; do
     AB2) run_step AB2 '"metric"' 3 env BENCH_STATIC_IDS=0 python bench.py ;;
     AB3) run_step AB3 '"metric"' 3 env SCHEMANET_GNN_LN_BACKEND=xla BENCH_STATIC_IDS=0 python bench.py ;;
     AB4) run_step AB4 'img/s' 2 env SCHEMANET_PRNG_IMPL=rbg python tools/bench_backbone.py ;;
+    P) sid=P; probe && { timeout 9000 sh tools/ab_graph_precision.sh > /tmp/step_P.log 2>&1; echo "--- [P] bf16 graph-precision A/B gate ---" >> $L; tail -20 /tmp/step_P.log >> $L; } ;;
     *) echo "unknown step $s" ;;
   esac
 done
