@@ -38,16 +38,20 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-# fp32 bytes a single [rows, d] temp may occupy in VMEM. The backward kernel
-# holds two such temps (x and g) plus the io blocks and double buffering;
-# 3 MB keeps the total comfortably under the 16 MB scoped-VMEM limit.
-_BLOCK_BYTES = 3 * 1024 * 1024
+# fp32 bytes a single [rows, d] temp may occupy in VMEM. Forward holds ~2-3
+# such temps; BACKWARD materialises ~6 (x, g, xhat, ga, dx, and the relu gate
+# recompute) plus double-buffered io blocks — a 3 MB per-temp block measured
+# 19.8 MB of scoped stack at the stage-0 shape ([50432, 192] → 3152-row
+# blocks) and failed to compile (16 MB scoped-VMEM limit), so the backward
+# uses its own smaller budget. Both env-tunable for on-chip sweeps.
+_BLOCK_BYTES = int(os.environ.get("SCHEMANET_LN_FWD_BUDGET", 3 * 1024 * 1024))
+_BWD_BLOCK_BYTES = int(os.environ.get("SCHEMANET_LN_BWD_BUDGET", 1_500_000))
 
 
-def _row_block(n_rows: int, d: int) -> int:
+def _row_block(n_rows: int, d: int, block_bytes: int = None) -> int:
     """Largest divisor of ``n_rows`` that is a multiple of 8 (fp32 sublane)
     and fits the VMEM budget; falls back to any divisor for tiny/odd N."""
-    cap = max(8, _BLOCK_BYTES // (d * 4))
+    cap = max(8, (block_bytes or _BLOCK_BYTES) // (d * 4))
     best = 0
     for b in range(8, min(n_rows, cap) + 1, 8):
         if n_rows % b == 0:
@@ -143,7 +147,7 @@ def _ln_fwd(x2, scale, bias, eps, act, interpret):
 def _ln_bwd(eps, act, interpret, res, g):
     x2, scale, bias = res
     n, d = x2.shape
-    block = _row_block(n, d)
+    block = _row_block(n, d, _BWD_BLOCK_BYTES)
     dx, dparam = pl.pallas_call(
         functools.partial(_ln_bwd_kernel, eps=eps, act=act),
         grid=(n // block,),
