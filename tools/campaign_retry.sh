@@ -64,6 +64,10 @@ for s in "$@"; do
     AB3) run_step AB3 '"metric"' 3 env SCHEMANET_GNN_LN_BACKEND=xla BENCH_STATIC_IDS=0 python bench.py ;;
     AB4) run_step AB4 'img/s' 2 env SCHEMANET_PRNG_IMPL=rbg python tools/bench_backbone.py ;;
     P) sid=P; probe && { timeout 9000 sh tools/ab_graph_precision.sh > /tmp/step_P.log 2>&1; echo "--- [P] bf16 graph-precision A/B gate ---" >> $L; tail -20 /tmp/step_P.log >> $L; } ;;
+    AB5) run_step AB5 '"metric"' 3 env BENCH_SCALE=imagenet SCHEMANET_GNN_LN_BACKEND=xla python bench.py ;;
+    AB6) run_step AB6 '"metric"' 3 env SCHEMANET_LN_FWD_BUDGET=1300000 python bench.py ;;
+    AB7) run_step AB7 '"metric"' 3 env SCHEMANET_LN_FWD_BUDGET=900000 python bench.py ;;
+    AB8) run_step AB8 'img/s' 2 env SCHEMANET_LN_FWD_BUDGET=1300000 python tools/bench_backbone.py ;;
     *) echo "unknown step $s" ;;
   esac
 done
