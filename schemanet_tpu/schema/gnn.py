@@ -85,6 +85,46 @@ def _sym_conv_bwd(res, g):
 _sym_conv.defvjp(_sym_conv_fwd, _sym_conv_bwd)
 
 
+@jax.custom_vjp
+def _sym_conv_two(e: jnp.ndarray, f: jnp.ndarray) -> jnp.ndarray:
+    """The non-materialising formulation: E@f and E^T@f as two matmuls.
+
+    2x the MXU FLOPs of ``_sym_conv`` but never writes the [.., n, n] E_sym
+    tensor to HBM; faster where the conv is bandwidth-bound (small n / large
+    batch). Selected by ``SCHEMANET_SYMCONV=two``."""
+    fwd = jnp.einsum("bnm,bmd->bnd", e, f)
+    bwd = jnp.einsum("bmn,bmd->bnd", e, f)  # E^T @ f, first-axis contraction
+    return 0.5 * (fwd + bwd) + f
+
+
+def _sym_conv_two_fwd(e, f):
+    return _sym_conv_two(e, f), (e, f)
+
+
+def _sym_conv_two_bwd(res, g):
+    e, f = res
+    t = jnp.einsum("bnd,bmd->bnm", g, f)
+    de = 0.5 * (t + jnp.swapaxes(t, 1, 2))
+    df = (
+        0.5 * (jnp.einsum("bnm,bnd->bmd", e, g) + jnp.einsum("bnm,bmd->bnd", e, g))
+        + g
+    )
+    return de, df
+
+
+_sym_conv_two.defvjp(_sym_conv_two_fwd, _sym_conv_two_bwd)
+
+
+def _symconv_impl():
+    import os
+
+    return (
+        _sym_conv_two
+        if os.environ.get("SCHEMANET_SYMCONV", "single") == "two"
+        else _sym_conv
+    )
+
+
 # one-hot-matmul embedding backward pays rows*M*D FLOPs to avoid a scatter;
 # measured crossover on v5e: M=1025/D=256 (CIFAR scale, ~2.6e10) wins +3.9%
 # end-to-end, M=8001/D=1024 (ImageNet scale, >=4.1e11) loses -8% vs scatter
@@ -295,7 +335,7 @@ class GraphConv(nn.Module):
             # and VMEM-overflowing giants on the batched XLA dot.
             feat = sym_conv(edges.astype(feat.dtype), feat, backend == "interpret")
         else:
-            feat = _sym_conv(edges.astype(feat.dtype), feat)
+            feat = _symconv_impl()(edges.astype(feat.dtype), feat)
         if self.identity_proj:
             return feat
         return nn.Dense(
@@ -340,9 +380,13 @@ class GNNLayer(nn.Module):
             from ..ops.pallas.layernorm import fused_layernorm, layernorm_backend
 
             # SCHEMANET_GNN_LN_BACKEND overrides just this site (A/B the GNN
-            # tail independently of the backbone LN); default follows the
-            # global LN backend gate.
-            backend = os.environ.get("SCHEMANET_GNN_LN_BACKEND") or layernorm_backend()
+            # tail independently of the backbone LN). Default is the XLA path:
+            # the round-3 chip A/B measured the fused kernel LOSING here at
+            # both scales (ImageNet bs=1024 step 486 -> 404 ms, CIFAR 101.8 ->
+            # 97.7 ms with backend=xla) — the [K*V, D] row-flattened launch is
+            # grid-overhead-bound while XLA fuses LN+relu into the conv's
+            # epilogue. 'auto' follows the global LN gate (fused on TPU).
+            backend = os.environ.get("SCHEMANET_GNN_LN_BACKEND", "xla")
             if backend == "auto":
                 backend = layernorm_backend()
             if backend in ("pallas", "interpret"):

@@ -246,3 +246,19 @@ def test_sym_conv_custom_vjp_matches_autodiff(rng):
     de_ref, df_ref = jax.vjp(plain, e, f)[1](ct)
     np.testing.assert_allclose(de, de_ref, rtol=1e-5, atol=1e-5)
     np.testing.assert_allclose(df, df_ref, rtol=1e-5, atol=1e-5)
+
+
+def test_sym_conv_two_matches_single(rng):
+    # the non-materialising two-matmul formulation (SCHEMANET_SYMCONV=two)
+    # must match _sym_conv in values and gradients
+    from schemanet_tpu.schema.gnn import _sym_conv, _sym_conv_two
+
+    e = jnp.asarray(rng.normal(size=(3, 9, 9)).astype(np.float32))
+    f = jnp.asarray(rng.normal(size=(3, 9, 6)).astype(np.float32))
+    ct = jnp.asarray(rng.normal(size=(3, 9, 6)).astype(np.float32))
+
+    np.testing.assert_allclose(_sym_conv_two(e, f), _sym_conv(e, f), rtol=1e-5, atol=1e-5)
+    de, df = jax.vjp(_sym_conv_two, e, f)[1](ct)
+    de_ref, df_ref = jax.vjp(_sym_conv, e, f)[1](ct)
+    np.testing.assert_allclose(de, de_ref, rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(df, df_ref, rtol=1e-5, atol=1e-5)

@@ -68,6 +68,8 @@ for s in "$@"; do
     AB6) run_step AB6 '"metric"' 3 env SCHEMANET_LN_FWD_BUDGET=1300000 python bench.py ;;
     AB7) run_step AB7 '"metric"' 3 env SCHEMANET_LN_FWD_BUDGET=900000 python bench.py ;;
     AB8) run_step AB8 'img/s' 2 env SCHEMANET_LN_FWD_BUDGET=1300000 python tools/bench_backbone.py ;;
+    AB9) run_step AB9 '"metric"' 3 env BENCH_SCALE=imagenet SCHEMANET_SYMCONV=two python bench.py ;;
+    AB10) run_step AB10 '"metric"' 3 env SCHEMANET_SYMCONV=two python bench.py ;;
     *) echo "unknown step $s" ;;
   esac
 done
