@@ -19,6 +19,37 @@ replaced by:
 __version__ = "0.1.0"
 
 
+def _enable_compilation_cache():
+    """Point JAX's persistent compilation cache at a repo-local directory.
+
+    Recompiling the fused train step over the chip tunnel costs minutes per
+    process launch (bench runs, pipeline stages, workers are separate
+    processes); the disk cache makes every launch after the first near-free.
+    Opt out with SCHEMANET_COMPILE_CACHE=0, or override the location by
+    exporting JAX_COMPILATION_CACHE_DIR yourself. Backends whose executables
+    can't be serialised simply skip the cache (JAX handles that internally).
+    """
+    import os
+
+    if os.environ.get("SCHEMANET_COMPILE_CACHE", "1") == "0":
+        return
+    if "JAX_COMPILATION_CACHE_DIR" in os.environ:
+        return
+    cache_dir = os.path.join(os.path.dirname(os.path.dirname(__file__)), ".jax_cache")
+    try:
+        import jax
+
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        # cache everything that took non-trivial compile time, first use
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    except Exception:  # pragma: no cover - old jax or read-only fs
+        pass
+
+
+_enable_compilation_cache()
+
+
 def __getattr__(name):
     """Lazy top-level API (keeps `import schemanet_tpu` light)."""
     import importlib

@@ -70,6 +70,13 @@ for s in "$@"; do
     AB8) run_step AB8 'img/s' 2 env SCHEMANET_LN_FWD_BUDGET=1300000 python tools/bench_backbone.py ;;
     AB9) run_step AB9 '"metric"' 3 env BENCH_SCALE=imagenet SCHEMANET_SYMCONV=two python bench.py ;;
     AB10) run_step AB10 '"metric"' 3 env SCHEMANET_SYMCONV=two python bench.py ;;
+    # X-steps: bisect the cifar default-step regression (85 -> 97.6 ms between
+    # the round-2 snapshot and the round-3 differentiable-kernel rewrite) by
+    # swapping one fused kernel at a time back to the XLA path.
+    X1) run_step X1 '"metric"' 3 env SCHEMANET_ATTN_BACKEND=xla python bench.py ;;
+    X2) run_step X2 '"metric"' 3 env SCHEMANET_LN_BACKEND=xla SCHEMANET_MLP_BACKEND=pallas python bench.py ;;
+    X3) run_step X3 '"metric"' 3 env SCHEMANET_MLP_BACKEND=xla python bench.py ;;
+    X4) run_step X4 '"metric"' 3 env SCHEMANET_ATTN_BACKEND=xla SCHEMANET_LN_BACKEND=xla SCHEMANET_MLP_BACKEND=xla SCHEMANET_SYMCONV=two BENCH_STATIC_IDS=0 python bench.py ;;
     *) echo "unknown step $s" ;;
   esac
 done
