@@ -77,6 +77,16 @@ for s in "$@"; do
     X2) run_step X2 '"metric"' 3 env SCHEMANET_LN_BACKEND=xla SCHEMANET_MLP_BACKEND=pallas python bench.py ;;
     X3) run_step X3 '"metric"' 3 env SCHEMANET_MLP_BACKEND=xla python bench.py ;;
     X4) run_step X4 '"metric"' 3 env SCHEMANET_ATTN_BACKEND=xla SCHEMANET_LN_BACKEND=xla SCHEMANET_MLP_BACKEND=xla SCHEMANET_SYMCONV=two BENCH_STATIC_IDS=0 python bench.py ;;
+    # X5/X6: candidate new defaults after X2 showed LN->xla recovers 10 ms of
+    # the cifar regression (97.56 -> 87.54); combine with the two-matmul
+    # symconv (round-2 formulation) to see if the full 85 ms reproduces.
+    X5) run_step X5 '"metric"' 3 env SCHEMANET_LN_BACKEND=xla SCHEMANET_MLP_BACKEND=pallas SCHEMANET_SYMCONV=two python bench.py ;;
+    X6) run_step X6 '"metric"' 3 env BENCH_SCALE=imagenet SCHEMANET_LN_BACKEND=xla SCHEMANET_MLP_BACKEND=pallas python bench.py ;;
+    # R2: machine-drift control — run the round-2 snapshot's bench.py from a
+    # worktree (git worktree add /tmp/r2bench 339c9f2) on today's chip. If it
+    # no longer reproduces ~85 ms, part of the "regression" is chip/tunnel
+    # drift, not code.
+    R2) run_step R2 '"metric"' 3 sh -c 'cd /tmp/r2bench && python bench.py' ;;
     *) echo "unknown step $s" ;;
   esac
 done
