@@ -138,30 +138,28 @@ class MultiHeadSelfAttention(nn.Module):
             # the kernel carries a recompute VJP, ops/pallas/attention.py) and
             # the qkv layout stays untouched; attn probes are unavailable —
             # Transformer.run only requests this when nothing captures them.
-            # Attention dropout runs in-kernel on the TPU hardware PRNG; the
-            # interpret backend has no real PRNG (stubbed), so dropout-live
-            # calls keep the XLA path there.
+            # Attention dropout runs in-kernel via the stateless hash mask
+            # (ops/pallas/dropmask.py), which lowers on every backend —
+            # interpret mode included.
             from ..ops.pallas.attention import attention_backend, fused_mhsa
 
             backend = attention_backend()
             dropout_live = bool(self.dropout) and not deterministic
-            if backend == "pallas" or (backend == "interpret" and not dropout_live):
+            if backend in ("pallas", "interpret"):
+                kwargs = {}
                 if dropout_live:
                     import jax
 
-                    seed = jax.random.randint(
-                        self.make_rng("dropout"), (), 0, 2**31 - 1, dtype=jnp.int32
-                    )
-                    out = fused_mhsa(
-                        qkv,
-                        self.num_heads,
+                    kwargs = dict(
                         dropout_p=float(self.dropout),
-                        seed=seed,
+                        seed=jax.random.randint(
+                            self.make_rng("dropout"), (), 0, 2**31 - 1,
+                            dtype=jnp.int32,
+                        ),
                     )
-                else:
-                    out = fused_mhsa(
-                        qkv, self.num_heads, interpret=backend == "interpret"
-                    )
+                out = fused_mhsa(
+                    qkv, self.num_heads, interpret=backend == "interpret", **kwargs
+                )
                 return project(dense_out, out), None, None
         qkv = qkv.reshape(bs, n, 3, self.num_heads, head_dim)
         q, k, v = (

@@ -90,9 +90,9 @@ class EncoderLayer(nn.Module):
             # hidden state never leaving VMEM (ops/pallas/mlp.py) — the
             # hidden-state HBM round trip profiled at ~22% of the SchemaNet
             # step, and it re-materialises in the backward without the
-            # kernel's recompute VJP. FFN dropout runs in-kernel on the TPU
-            # hardware PRNG (interpret mode stubs the PRNG, so dropout-live
-            # calls keep the XLA path there).
+            # kernel's recompute VJP. FFN dropout runs in-kernel via the
+            # stateless hash mask (ops/pallas/dropmask.py), which lowers on
+            # every backend — interpret mode included.
             if quant and not self.is_initializing():
                 # int8 fc1/fc2 beats the bf16 fused-FFN kernel at the MXU's
                 # 2x int8 rate; hidden-state HBM traffic returns but at half
@@ -103,9 +103,7 @@ class EncoderLayer(nn.Module):
 
                 backend = mlp_backend()
                 dropout_live = bool(self.dropout) and not deterministic
-                if backend == "pallas" or (
-                    backend == "interpret" and not dropout_live
-                ):
+                if backend in ("pallas", "interpret"):
                     _ = mlp(x[:1, :1], True)  # materialise params only (DCE'd)
                     p = mlp.variables["params"]
                     kwargs = {}

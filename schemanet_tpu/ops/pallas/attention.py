@@ -18,12 +18,14 @@ dqkv in the same fused lane layout. Sequence lengths here (n<=198) fit whole
 [n, n] score tiles in VMEM, so no online-softmax streaming is needed — this is
 the single-tile degenerate case of the standard flash backward.
 
-Attention dropout (reference mha.py:258-260) runs INSIDE the kernel with the
-TPU hardware PRNG: the mask is a deterministic function of (seed, program,
-item, head), so the backward pass regenerates bit-identical keep masks from
-the same seed instead of storing an [bs, H, n, n] mask tensor. The RNG stream
-differs from ``jax.random.bernoulli`` by design (documented; the reference's
-torch dropout stream differs from JAX's anyway).
+Attention dropout (reference mha.py:258-260) runs INSIDE the kernel via the
+stateless counter-based hash mask (ops/pallas/dropmask.py): the keep bit is a
+pure function of (seed, item, head, row, col), so the backward pass recomputes
+bit-identical masks instead of storing an [bs, H, n, n] mask tensor — stable
+across block sizes, kernels, and backends (the stateful pltpu.prng_* draws it
+replaced were NOT: see dropmask.py). The stream differs from
+``jax.random.bernoulli`` by design (documented; the reference's torch dropout
+stream differs from JAX's anyway).
 
 Numerics match the XLA path: q pre-scaled in its own dtype, scores accumulated
 fp32 on the MXU, softmax in fp32, attention cast back to the value dtype for
@@ -43,14 +45,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _keep_mask(shape, dropout_p):
-    """Uniform [0,1) from the hardware PRNG (top 24 bits), keep where >= p.
-    Caller must have seeded the PRNG for this (program, item, head)."""
-    bits = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)
-    # Mosaic lowers no uint32->f32 cast; the top 24 bits are sign-safe as i32
-    hi = pltpu.bitcast(bits >> 8, jnp.int32)
-    u = hi.astype(jnp.float32) * (1.0 / 16777216.0)
-    return u >= dropout_p
+from .dropmask import hash_keep_mask
 
 
 def _mhsa_kernel(
@@ -79,10 +74,10 @@ def _mhsa_kernel(
             )
             attn = jax.nn.softmax(scores, axis=-1)
             if dropout_p:
-                # unique stream per (global item, head); identical seeding in
-                # the backward kernel regenerates the exact mask
-                pltpu.prng_seed(seed_ref[0], pid * blk * H + b * H + h)
-                keep = _keep_mask(attn.shape, dropout_p)
+                # unique stream per (global item, head); the backward kernel
+                # recomputes the identical stateless hash mask
+                stream = (pid * blk + b) * H + h
+                keep = hash_keep_mask(seed_ref[0], stream, attn.shape, dropout_p)
                 attn = jnp.where(keep, attn * (1.0 / (1.0 - dropout_p)), 0.0)
             out = jnp.dot(
                 attn.astype(v.dtype), v, preferred_element_type=jnp.float32
@@ -113,8 +108,8 @@ def _mhsa_bwd_kernel(
             )
             s = jax.nn.softmax(scores, axis=-1)  # fp32 [n, n]
             if dropout_p:
-                pltpu.prng_seed(seed_ref[0], pid * blk * H + b * H + h)
-                keep = _keep_mask(s.shape, dropout_p)
+                stream = (pid * blk + b) * H + h
+                keep = hash_keep_mask(seed_ref[0], stream, s.shape, dropout_p)
                 inv = 1.0 / (1.0 - dropout_p)
                 attn_used = jnp.where(keep, s * inv, 0.0)
             else:

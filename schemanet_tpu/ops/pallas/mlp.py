@@ -16,13 +16,13 @@ is NEVER stored), computes dx in the same pass, and accumulates dw1/db1/dw2/
 db2 across the sequential grid in revisited fp32 output blocks.
 
 The reference's FFN dropout (between activation and fc2, layers/mlp.py:8-33)
-runs INSIDE the kernel with the TPU hardware PRNG, keyed on
-(seed, absolute-row-chunk): masks are generated per fixed _DROP_CHUNK-row
-chunk, so the (position -> mask) mapping is independent of the block size
-and the backward regenerates the identical mask instead of storing it —
-while forward keeps its LARGE row blocks under dropout (a (seed, program)
-keying would force fwd onto the backward's small blocks; that cost ~6x the
-program count across the 12 stage-0 layers).
+runs INSIDE the kernel via the stateless counter-based hash mask
+(ops/pallas/dropmask.py), keyed on (seed, absolute row, col): the
+(position -> mask) mapping is independent of the block size, grid, and
+backend, so the backward regenerates the identical mask instead of storing
+it while forward keeps its LARGE row blocks under dropout. (The previous
+stateful pltpu.prng_* chunk scheme failed the on-chip fixed-seed
+finite-difference gradient check — see dropmask.py.)
 
 Numerics match ``flax.linen.Dense`` with the module compute dtype: operands
 are cast to the compute dtype outside the kernel, the MXU accumulates in fp32
@@ -42,6 +42,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from .dropmask import hash_keep_mask
 from .layernorm import auto_backend, layernorm_backend
 
 
@@ -106,34 +107,16 @@ def _activation_grad(name):
     raise NotImplementedError(f"no in-kernel activation grad for {name!r}")
 
 
-def _ffn_keep_mask(shape, dropout_p):
-    bits = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)
-    hi = pltpu.bitcast(bits >> 8, jnp.int32)  # top 24 bits, sign-safe as i32
-    u = hi.astype(jnp.float32) * (1.0 / 16777216.0)
-    return u >= dropout_p
-
-
-# rows per dropout PRNG stream: every block size is a multiple of this (see
-# _fwd_rows/_bwd_rows), so fwd and bwd tile the same absolute-row chunks
-_DROP_CHUNK = 256
-
-
 def _apply_ffn_dropout(h, seed_ref, dropout_p, inv=None):
-    """Regenerate the per-chunk dropout masks for this block and apply them.
+    """Stateless counter-based dropout mask for this block (dropmask.py).
 
-    Chunk c of this block covers absolute rows
-    [pid * block_rows + c * _DROP_CHUNK, ...), i.e. absolute chunk id
-    pid * (block_rows // _DROP_CHUNK) + c — the same stream regardless of
-    the caller's block size (both block sizes are _DROP_CHUNK multiples).
+    The keep bit of hidden element (absolute row, col) is a pure hash of
+    (seed, row, col) — identical under ANY block size, so the backward kernel
+    regenerates the exact forward mask without storing the [rows, f] tensor.
     Returns where(keep, h * inv, 0) when ``inv`` is given (forward path) or
     the raw keep mask when not (backward reuses it twice)."""
-    chunks = h.shape[0] // _DROP_CHUNK
-    base = pl.program_id(0) * chunks
-    keeps = []
-    for c in range(chunks):
-        pltpu.prng_seed(seed_ref[0], base + c)
-        keeps.append(_ffn_keep_mask((_DROP_CHUNK, h.shape[1]), dropout_p))
-    keep = jnp.concatenate(keeps, axis=0) if chunks > 1 else keeps[0]
+    row0 = pl.program_id(0) * h.shape[0]
+    keep = hash_keep_mask(seed_ref[0], 0, h.shape, dropout_p, row_offset=row0)
     if inv is None:
         return keep
     return jnp.where(keep, h * inv, 0.0)
@@ -240,11 +223,10 @@ def _bwd_rows(f: int) -> int:
 def _mlp_call(x, seed, w1, b1, w2, b2, activation, dropout_p, interpret):
     bs, n, d = x.shape
     f = w1.shape[1]
-    # dropout no longer constrains the forward block size: masks are keyed on
-    # absolute _DROP_CHUNK-row chunks, identical under any chunk-multiple
-    # block. Dropout-live blocks are capped at 768 rows (vs 1536) as VMEM
-    # headroom for the in-kernel mask temps — still 3x fewer programs than
-    # the old (seed, program) keying forced (256).
+    # dropout does not constrain the forward block size: masks are keyed on
+    # absolute (row, col), identical under any blocking. Dropout-live blocks
+    # are capped at 768 rows (vs 1536) as VMEM headroom for the in-kernel
+    # mask temps.
     rows = _fwd_rows(f, x.dtype.itemsize)
     if dropout_p:
         rows = min(rows, int(os.environ.get("SCHEMANET_MLP_DROP_ROWS", 768)))

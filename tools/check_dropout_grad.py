@@ -1,9 +1,12 @@
-"""On-chip validation of the in-kernel attention dropout (ops/pallas/attention).
+"""On-chip validation of the in-kernel dropout (ops/pallas/{attention,mlp}).
 
-The dropout mask is regenerated in the backward kernel from the same
-(seed, item, head) PRNG stream instead of being stored — a property that
-CANNOT be tested off-chip (pltpu.prng_* has no CPU/interpret lowering), so
-this tool runs the three checks on real hardware:
+The dropout mask is regenerated in the backward kernel from the stateless
+counter-based hash (ops/pallas/dropmask.py) instead of being stored. The
+hash is backend-independent and fully covered off-chip by
+tests/test_dropmask.py; this tool re-runs the same checks on real hardware
+as the final Mosaic-lowering confirmation. History: the round-3 stateful
+pltpu.prng_* scheme PASSED determinism but FAILED check 3 here (campaign
+step [M], rel ~0.8) — that failure motivated the hash rewrite.
 
 1. determinism: same seed -> bit-identical forward output;
 2. seed sensitivity: different seed -> different output;
