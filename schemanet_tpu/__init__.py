@@ -20,7 +20,7 @@ __version__ = "0.1.0"
 
 
 def _enable_compilation_cache():
-    """Point JAX's persistent compilation cache at a repo-local directory.
+    """Point JAX's persistent compilation cache at a writable directory.
 
     Recompiling the fused train step over the chip tunnel costs minutes per
     process launch (bench runs, pipeline stages, workers are separate
@@ -28,6 +28,10 @@ def _enable_compilation_cache():
     Opt out with SCHEMANET_COMPILE_CACHE=0, or override the location by
     exporting JAX_COMPILATION_CACHE_DIR yourself. Backends whose executables
     can't be serialised simply skip the cache (JAX handles that internally).
+
+    Implemented via env vars (not ``jax.config.update``) so that importing
+    ``schemanet_tpu`` never imports jax — JAX reads these at its own import
+    time, keeping the documented lazy-import design intact.
     """
     import os
 
@@ -35,15 +39,58 @@ def _enable_compilation_cache():
         return
     if "JAX_COMPILATION_CACHE_DIR" in os.environ:
         return
-    cache_dir = os.path.join(os.path.dirname(os.path.dirname(__file__)), ".jax_cache")
-    try:
-        import jax
+    if "jax" in __import__("sys").modules:
+        # jax already configured itself from the env; late env edits would be
+        # ignored, so set the config directly on the live module instead
+        _configure_live_jax_cache()
+        return
+    cache_dir = _cache_dir()
+    if cache_dir is None:
+        return
+    os.environ["JAX_COMPILATION_CACHE_DIR"] = cache_dir
+    # cache everything that took non-trivial compile time
+    os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1.0")
+    os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
 
+
+def _cache_dir():
+    """Repo-local ``.jax_cache`` when the checkout is writable, else a user
+    cache dir (a pip-installed copy may live on a read-only / shared tree)."""
+    import os
+
+    repo_local = os.path.join(os.path.dirname(os.path.dirname(__file__)), ".jax_cache")
+    for candidate in (
+        repo_local,
+        os.path.join(
+            os.environ.get("XDG_CACHE_HOME", os.path.expanduser("~/.cache")),
+            "schemanet_tpu",
+            "jax",
+        ),
+    ):
+        try:
+            os.makedirs(candidate, exist_ok=True)
+            probe = os.path.join(candidate, ".write_probe")
+            with open(probe, "w"):
+                pass
+            os.remove(probe)
+            return candidate
+        except OSError:
+            continue
+    return None  # nowhere writable: run without a persistent cache
+
+
+def _configure_live_jax_cache():  # pragma: no cover - import-order dependent
+    import sys
+
+    cache_dir = _cache_dir()
+    if cache_dir is None:
+        return
+    try:
+        jax = sys.modules["jax"]
         jax.config.update("jax_compilation_cache_dir", cache_dir)
-        # cache everything that took non-trivial compile time, first use
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
         jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
-    except Exception:  # pragma: no cover - old jax or read-only fs
+    except Exception:
         pass
 
 

@@ -4,16 +4,18 @@ The reference spawns one process per GPU with torch.multiprocessing + NCCL;
 under single-controller JAX one process drives all local chips, and multi-host
 jobs call ``jax.distributed.initialize`` (one line). Everything else is flags.
 
-Subcommands (the reference's 5-stage pipeline):
+Subcommands (the reference's 5-stage pipeline + serving):
     train    --worker {backbone_worker, schema_net_worker, eval_worker}
     extract  (stage 1: codebook k-means)            [scripts/extract_ingredients.py]
     export   (stage 2: export bundle)               [scripts/save_backbone_jit.py]
     init     (stage 3: IR-Atlas initialisation)     [scripts/init_schema_net.py]
+    serve    (microbatched predict/explain — net-new vs the reference)
 """
 
 from __future__ import annotations
 
 import argparse
+import json
 import logging
 import os
 import sys
@@ -75,6 +77,26 @@ def build_parser() -> argparse.ArgumentParser:
     p_init.add_argument("--save-fp", type=str, required=True)
     p_init.add_argument("--batch-size", type=int, default=32)
     p_init.add_argument("--make-partial", type=float, default=None)
+
+    p_serve = sub.add_parser(
+        "serve", help="microbatched inference + interpretability (serve.py)"
+    )
+    _common_flags(p_serve)
+    p_serve.add_argument("--ckpt", type=str, required=True,
+                         help="trained schema_net checkpoint dir")
+    p_serve.add_argument("--images", type=str, required=True,
+                         help=".npy [N,H,W,3] array, an image file, a directory "
+                              "of images, or 'synthetic:N'")
+    p_serve.add_argument("--microbatch", type=int, default=64)
+    p_serve.add_argument("--quant-int8", action="store_true",
+                         help="W8A8 PTQ backbone (ops/quant.py)")
+    p_serve.add_argument("--explain", action="store_true",
+                         help="also compute attribution maps / instance graphs")
+    p_serve.add_argument("--graph-sample", type=int, default=None,
+                         help="export sample's instance graph as GraphML (needs --out)")
+    p_serve.add_argument("--out", type=str, default=None,
+                         help="write logits (+ explain bundle) to this .npz")
+    p_serve.add_argument("--topk", type=int, default=5)
     return parser
 
 
@@ -93,6 +115,11 @@ def _setup(args) -> Dict[str, Any]:
         parse_override_strings(args.override),
         base_dir=os.path.dirname(os.path.abspath(args.cfg)),
     )
+    # kernels: backend/variant policy (ops/policy.py) — applies to every
+    # subcommand so extract/init/export/serve run the same tuned defaults
+    from .ops.policy import configure
+
+    configure(cfg.get("kernels"))
     return cfg
 
 
@@ -299,6 +326,92 @@ def cmd_init(args):
     return 0
 
 
+def _load_serve_images(spec: str, img_size: int) -> np.ndarray:
+    """--images: 'synthetic:N' | .npy array | image file | directory."""
+    if spec.startswith("synthetic:"):
+        n = int(spec.split(":", 1)[1])
+        rng = np.random.default_rng(0)
+        return rng.normal(size=(n, img_size, img_size, 3)).astype(np.float32)
+    path = os.path.expanduser(spec)
+    if path.endswith(".npy"):
+        arr = np.asarray(np.load(path), np.float32)
+        if arr.ndim == 3:
+            arr = arr[None]
+        return arr
+    from PIL import Image
+
+    files = (
+        sorted(
+            os.path.join(path, f)
+            for f in os.listdir(path)
+            if f.lower().endswith((".png", ".jpg", ".jpeg", ".bmp", ".webp"))
+        )
+        if os.path.isdir(path)
+        else [path]
+    )
+    if not files:
+        raise FileNotFoundError(f"no images under {path}")
+    imgs = [
+        np.asarray(
+            Image.open(f).convert("RGB").resize((img_size, img_size)), np.float32
+        )
+        / 255.0
+        for f in files
+    ]
+    return np.stack(imgs)
+
+
+def cmd_serve(args):
+    """Reference parity note: the reference ships NO serving path (its
+    SchemaNetPredictor docstring graph/__init__.py:19-24 promises per-code
+    attributions it never implements) — this surface is net-new."""
+    from .pipeline.bundle import load_bundle
+    from .serve import load_serve_predictor
+
+    cfg = _setup(args)
+    schema_cfg = cfg["schema_net"]
+    base_dir = os.path.dirname(os.path.abspath(args.cfg))
+    num_classes = cfg.get("num_classes")
+    if num_classes is None:
+        from .data.datasets import get_dataset
+        from .utils.config import resolve_subconfig
+
+        data_cfg = resolve_subconfig(cfg["dataset"], base_dir)
+        num_classes = get_dataset(data_cfg, "train").num_classes
+    bundle_path = os.path.expanduser(schema_cfg["bundle"])
+    img_size = load_bundle(bundle_path).img_size
+    server = load_serve_predictor(
+        bundle_path, schema_cfg, args.ckpt, num_classes,
+        microbatch=args.microbatch, quant_int8=args.quant_int8,
+    )
+    images = _load_serve_images(args.images, img_size)
+
+    logits = server.predict(images)
+    k = min(args.topk, logits.shape[1])
+    order = np.argsort(-logits, axis=1)[:, :k]
+    for i, row in enumerate(order):
+        print(json.dumps({
+            "index": i,
+            "label": int(row[0]),
+            "topk": [[int(c), float(logits[i, c])] for c in row],
+        }))
+
+    saved: Dict[str, Any] = {"logits": logits}
+    if args.explain:
+        saved.update(server.explain(images))
+    if args.out:
+        np.savez(os.path.expanduser(args.out), **saved)
+        print(f"saved {sorted(saved)} to {args.out}")
+        if args.graph_sample is not None:
+            import networkx as nx
+
+            g = server.explain_networkx(images, sample=args.graph_sample)
+            graph_fp = os.path.expanduser(args.out) + f".sample{args.graph_sample}.graphml"
+            nx.write_graphml(g, graph_fp)
+            print(f"saved instance graph to {graph_fp}")
+    return 0
+
+
 def parse_encode_layer(encoder_layer_cfg: str) -> int:
     """'module.transformer.layers.9' -> 9 (ingredient yaml encoder_layer)."""
     if isinstance(encoder_layer_cfg, int):
@@ -326,6 +439,7 @@ def main(argv=None) -> int:
         "extract": cmd_extract,
         "export": cmd_export,
         "init": cmd_init,
+        "serve": cmd_serve,
     }[args.command](args)
 
 

@@ -127,12 +127,14 @@ sym_conv.defvjp(_sym_conv_fwd, _sym_conv_bwd)
 
 
 def graphconv_backend() -> str:
-    """'pallas' | 'interpret' | 'xla' — SCHEMANET_GRAPHCONV_BACKEND.
+    """'pallas' | 'interpret' | 'xla' — the policy's ``graphconv`` field.
 
-    Default 'xla' (the measured-good `_sym_conv` path); 'pallas' opts the
-    GraphConv into this fused kernel on TPU-like platforms.
+    Tuned default 'xla' (the measured-good `_sym_conv` path); 'pallas' opts
+    the GraphConv into this fused kernel. See ops/policy.py.
     """
-    return os.environ.get("SCHEMANET_GRAPHCONV_BACKEND", "xla")
+    from ..policy import resolve
+
+    return resolve("graphconv")
 
 
 def shape_fits_kernel(v: int, d: int, itemsize: int = 2) -> bool:

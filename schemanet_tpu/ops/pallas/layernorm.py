@@ -196,20 +196,15 @@ def fused_layernorm(
 
 
 def layernorm_backend() -> str:
-    """'pallas' | 'interpret' | 'xla' — resolution of SCHEMANET_LN_BACKEND.
+    """'pallas' | 'interpret' | 'xla' — the policy's ``ln`` field.
 
-    'auto' (default) picks the fused kernel on TPU-like platforms and the
-    plain XLA path elsewhere ('interpret' lets CPU tests exercise the
-    integration end to end), mirroring ``attention_backend``.
+    Tuned default is the XLA path even on TPU (ops/policy.py: the fwd-only
+    backbone LN measured 87.5 ms vs 97.6 ms with the Pallas kernel at the
+    CIFAR SchemaNet step — XLA fuses LN into the adjacent converts/epilogues,
+    while the standalone kernel forces an extra HBM round trip). The fused
+    kernel stays available for explicit opt-in (`kernels.ln: pallas` /
+    SCHEMANET_LN_BACKEND=pallas) and for fused-activation GNN-tail use.
     """
-    mode = os.environ.get("SCHEMANET_LN_BACKEND", "auto")
-    return auto_backend() if mode == "auto" else mode
+    from ..policy import resolve
 
-
-def auto_backend() -> str:
-    """Platform default: fused kernel on TPU-like backends, XLA elsewhere."""
-    try:
-        platform = jax.devices()[0].platform
-    except Exception:
-        platform = "cpu"
-    return "pallas" if platform in ("tpu", "axon") else "xla"
+    return resolve("ln")

@@ -43,23 +43,19 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .dropmask import hash_keep_mask
-from .layernorm import auto_backend, layernorm_backend
 
 
 def mlp_backend() -> str:
-    """'pallas' | 'interpret' | 'xla' — resolution of SCHEMANET_MLP_BACKEND.
+    """'pallas' | 'interpret' | 'xla' — the policy's ``mlp`` field.
 
-    Unset defaults to the LN backend (SCHEMANET_LN_BACKEND), preserving the
-    historical coupling; set it explicitly to toggle the fused FFN
-    independently of the fused LayerNorm (e.g. SCHEMANET_LN_BACKEND=xla
-    SCHEMANET_MLP_BACKEND=pallas keeps the FFN fusion while debugging LN).
+    Decoupled from the LN backend since round 4 (the round-3 coupling meant
+    flipping LN to its XLA winner silently dropped the FFN fusion too):
+    tuned default is the fused kernel on TPU ([X3] xla 105.5 ms vs 97.6 —
+    the VMEM-resident hidden state wins), XLA elsewhere. See ops/policy.py.
     """
-    import os
+    from ..policy import resolve
 
-    mode = os.environ.get("SCHEMANET_MLP_BACKEND")
-    if mode is None:
-        return layernorm_backend()
-    return auto_backend() if mode == "auto" else mode
+    return resolve("mlp")
 
 
 def _erf(x):

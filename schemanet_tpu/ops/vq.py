@@ -33,13 +33,13 @@ def vq_assign(
     ``backend``: 'xla' (score matrix in HBM, fused argmin by XLA), 'pallas'
     (streaming-argmin kernel, ops/pallas/vq.py — TPU only, worthwhile for
     large vocabularies where the [N, M] score materialisation dominates), or
-    'auto' (currently = 'xla'; device context at trace time is ambiguous, so
-    pallas stays opt-in via the SCHEMANET_VQ_BACKEND env var or explicit arg).
+    'auto' (the policy's ``vq`` field — tuned default 'xla'; opt into pallas
+    via `kernels.vq: pallas` / SCHEMANET_VQ_BACKEND. See ops/policy.py).
     """
     if backend == "auto":
-        import os
+        from .policy import resolve
 
-        backend = os.environ.get("SCHEMANET_VQ_BACKEND", "xla")
+        backend = resolve("vq")
     if backend == "pallas":
         from .pallas.vq import vq_assign_pallas
 

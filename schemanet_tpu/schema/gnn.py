@@ -116,13 +116,9 @@ _sym_conv_two.defvjp(_sym_conv_two_fwd, _sym_conv_two_bwd)
 
 
 def _symconv_impl():
-    import os
+    from ..ops.policy import resolve
 
-    return (
-        _sym_conv_two
-        if os.environ.get("SCHEMANET_SYMCONV", "single") == "two"
-        else _sym_conv
-    )
+    return _sym_conv_two if resolve("symconv") == "two" else _sym_conv
 
 
 # one-hot-matmul embedding backward pays rows*M*D FLOPs to avoid a scatter;
@@ -217,7 +213,8 @@ def _static_segment_sum(sorted_ids: np.ndarray, g_perm: jnp.ndarray, num_rows: i
     """sum rows of ``g_perm`` (already in sorted-id order) per id — all
     segment boundaries are static.
 
-    Two implementations, selected by SCHEMANET_STATIC_EMBED_BWD:
+    Two implementations, selected by the policy's ``static_embed_bwd`` field
+    (ops/policy.py; env override SCHEMANET_STATIC_EMBED_BWD):
 
     * ``blocked`` (default): chunk the sorted rows; each chunk's ids span a
       contiguous code band [lo, lo+W) (W = static max band width over chunks),
@@ -229,10 +226,10 @@ def _static_segment_sum(sorted_ids: np.ndarray, g_perm: jnp.ndarray, num_rows: i
       ``indices_are_sorted`` (the permutation already applied by a static
       gather) — the fallback for comparison runs.
     """
-    import os
+    from ..ops.policy import resolve
 
     R, D = g_perm.shape
-    mode = os.environ.get("SCHEMANET_STATIC_EMBED_BWD", "blocked")
+    mode = resolve("static_embed_bwd")
     if mode == "sorted_scatter":
         return (
             jnp.zeros((num_rows, D), jnp.float32)
@@ -375,20 +372,17 @@ class GNNLayer(nn.Module):
         # ops/pallas/layernorm.py). Params stay owned by nn.LayerNorm (same
         # ckpt tree); differentiable via the kernel's custom VJP.
         if not self.is_initializing():
-            import os
+            from ..ops.pallas.layernorm import fused_layernorm
+            from ..ops.policy import resolve
 
-            from ..ops.pallas.layernorm import fused_layernorm, layernorm_backend
-
-            # SCHEMANET_GNN_LN_BACKEND overrides just this site (A/B the GNN
-            # tail independently of the backbone LN). Default is the XLA path:
-            # the round-3 chip A/B measured the fused kernel LOSING here at
-            # both scales (ImageNet bs=1024 step 486 -> 404 ms, CIFAR 101.8 ->
-            # 97.7 ms with backend=xla) — the [K*V, D] row-flattened launch is
-            # grid-overhead-bound while XLA fuses LN+relu into the conv's
-            # epilogue. 'auto' follows the global LN gate (fused on TPU).
-            backend = os.environ.get("SCHEMANET_GNN_LN_BACKEND", "xla")
-            if backend == "auto":
-                backend = layernorm_backend()
+            # the policy's gnn_ln field gates just this site (A/B the GNN
+            # tail independently of the backbone LN). Tuned default is the
+            # XLA path: the round-3 chip A/B measured the fused kernel LOSING
+            # here at both scales (ImageNet bs=1024 step 486 -> 404 ms, CIFAR
+            # 101.8 -> 97.7 ms with backend=xla) — the [K*V, D] row-flattened
+            # launch is grid-overhead-bound while XLA fuses LN+relu into the
+            # conv's epilogue. See ops/policy.py.
+            backend = resolve("gnn_ln")
             if backend in ("pallas", "interpret"):
                 _ = norm(feat[:1, :1])  # materialise params only (DCE'd)
                 p = norm.variables["params"]

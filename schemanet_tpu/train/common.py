@@ -35,17 +35,20 @@ class TrainState(flax.struct.PyTreeNode):
 def make_train_prng(seed: int) -> jax.Array:
     """Root PRNG key for a training run.
 
-    ``SCHEMANET_PRNG_IMPL=rbg`` switches the whole dropout/drop-path stream to
-    XLA's RngBitGenerator (hardware RNG on TPU) instead of the default
-    threefry, whose counter math lowers to long vector chains — at stage-0
-    scale the per-step mask generation is [bs, n, d] x ~25 sites. The stream
-    (and therefore the realised masks) differs from threefry by design; the
-    reference's torch RNG differs from both. NOTE: rbg keys are [4]x uint32
-    (threefry: [2]), so checkpoints taken under one impl do not resume under
-    the other.
+    The policy's ``prng_impl`` field (`kernels.prng_impl: rbg` / env
+    SCHEMANET_PRNG_IMPL=rbg, see ops/policy.py) switches the whole
+    dropout/drop-path stream to XLA's RngBitGenerator (hardware RNG on TPU)
+    instead of the default threefry, whose counter math lowers to long vector
+    chains — at stage-0 scale the per-step mask generation is [bs, n, d] x
+    ~25 sites. The stream (and therefore the realised masks) differs from
+    threefry by design; the reference's torch RNG differs from both. NOTE:
+    rbg keys are [4]x uint32 (threefry: [2]), so checkpoints taken under one
+    impl do not resume under the other.
     """
-    impl = os.environ.get("SCHEMANET_PRNG_IMPL")
-    if impl:
+    from ..ops.policy import resolve
+
+    impl = resolve("prng_impl")
+    if impl and impl != "threefry":
         # legacy raw keys carry no impl tag — split/fold_in/bernoulli resolve
         # them through jax_default_prng_impl, so flip that (process-wide; this
         # is an opt-in perf knob) instead of minting a typed key that Orbax

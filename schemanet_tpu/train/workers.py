@@ -75,6 +75,11 @@ def resolve_dtype(name) -> Any:
 
 
 def _split_cfg(global_cfg: Dict[str, Any], args: LaunchArgs):
+    # kernels: backend/variant policy (ops/policy.py) — tuned defaults unless
+    # the YAML (or --set kernels.<field>=…) overrides them
+    from ..ops.policy import configure
+
+    configure(global_cfg.get("kernels"))
     data_cfg = resolve_subconfig(global_cfg["dataset"], args.base_dir)
     train_cfg = dict(global_cfg.get("training", {}))
     val_cfg = dict(global_cfg.get("validation", {}))

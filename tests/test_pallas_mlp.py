@@ -41,15 +41,16 @@ def test_fused_mlp_matches_flax(rng, bs, n, d, f, dtype, act):
 
 def test_predictor_fused_mlp_matches_xla(rng, monkeypatch):
     # end-to-end: frozen forward with the fused FFN (interpret mode) matches
-    # the plain path (SCHEMANET_LN_BACKEND gates both LN and MLP fusion)
+    # the plain path (mlp backend is policy-resolved, env-overridable)
     from tests.test_predictor import make_predictor
 
     predictor = make_predictor()
     x = jnp.asarray(rng.normal(size=(2, 32, 32, 3)).astype(np.float32))
     variables = predictor.init(jax.random.PRNGKey(0), x, method="init_full")
 
-    monkeypatch.setenv("SCHEMANET_LN_BACKEND", "xla")
+    monkeypatch.setenv("SCHEMANET_MLP_BACKEND", "xla")
     plain = predictor.apply(variables, x, True)
+    monkeypatch.setenv("SCHEMANET_MLP_BACKEND", "interpret")
     monkeypatch.setenv("SCHEMANET_LN_BACKEND", "interpret")
     fused = predictor.apply(variables, x, True)
 

@@ -296,3 +296,45 @@ def test_h5_feature_dump_and_resume(stages, tmp_path):
     cb2 = cluster_saved_features(h5_path, num_clusters=8, lloyd_iters=2)
     assert cb1.shape == cb2.shape == (8, 32)
     assert np.isfinite(cb2).all()
+
+
+def test_cli_serve_smoke(stages, workdir, tmp_path, capsys):
+    """`schemanet-tpu serve` over the stage-2/4 artifacts: topk JSON lines on
+    stdout, logits + explain bundle in the .npz, GraphML export."""
+    import json
+
+    import yaml
+
+    from schemanet_tpu.cli import main
+
+    ckpt_dir = os.path.join(workdir, "schema", "ckpt", "best")
+    if not os.path.isdir(ckpt_dir):
+        pytest.skip("stage 4 checkpoint missing (run test_stage4 first)")
+    cfg = {
+        "dataset": DATA_CFG,
+        "schema_net": {
+            "bundle": stages["bundle_path"],
+            "matcher": {"similarity": "inner_product"},
+            "gnn": {"embed_dim": 16, "num_layers": 2, "activation": "relu"},
+            "ir_atlas": {"class_max_vertices": 8, "feat_h": 4, "feat_w": 4,
+                         "clamp_vertex_attn": -1.0, "clamp_edge_attn": -1.0,
+                         "prune_node_threshold": 0.001},
+        },
+    }
+    cfg_path = tmp_path / "serve.yaml"
+    cfg_path.write_text(yaml.safe_dump(cfg))
+    out_fp = str(tmp_path / "serve_out.npz")
+    rc = main([
+        "serve", "--cfg", str(cfg_path), "--ckpt", ckpt_dir,
+        "--images", "synthetic:5", "--microbatch", "4", "--explain",
+        "--out", out_fp, "--graph-sample", "0", "--topk", "3",
+        "--log-dir", str(tmp_path / "logs"),
+    ])
+    assert rc == 0
+    lines = [l for l in capsys.readouterr().out.splitlines() if l.startswith("{")]
+    rows = [json.loads(l) for l in lines[:5]]
+    assert len(rows) == 5 and all(len(r["topk"]) == 3 for r in rows)
+    saved = np.load(out_fp)
+    assert saved["logits"].shape == (5, 4)
+    assert saved["attribution"].shape == (5, 4, 4, 4)
+    assert os.path.isfile(out_fp + ".sample0.graphml")

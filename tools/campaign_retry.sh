@@ -4,7 +4,7 @@
 # backend error). Usage: sh tools/campaign_retry.sh C D E ...
 # Steps mirror tools/chip_campaign.sh; results append to the same log.
 cd /root/repo
-L=/tmp/chip_campaign.log
+L=${CAMPAIGN_LOG:-/tmp/chip_campaign.log}
 
 probe() {
   # wait until the chip answers (up to ~30 min), probing every 60 s
@@ -86,7 +86,18 @@ for s in "$@"; do
     # worktree (git worktree add /tmp/r2bench 339c9f2) on today's chip. If it
     # no longer reproduces ~85 ms, part of the "regression" is chip/tunnel
     # drift, not code.
-    R2) run_step R2 '"metric"' 3 sh -c 'cd /tmp/r2bench && python bench.py' ;;
+    R2) run_step R2 '"metric"' 3 sh -c '[ -d /tmp/r2bench ] || git -C /root/repo worktree add /tmp/r2bench 339c9f2; cd /tmp/r2bench && python bench.py' ;;
+    # ---- round-4 steps ----------------------------------------------------
+    # C2: stage-0 with the round-3 LN default (pallas) vs the new policy
+    # default (xla, step C) — decides whether backbone TRAINING keeps the
+    # fused LN while the frozen-forward default moved to xla.
+    C2) run_step C2 'img/s' 2 env SCHEMANET_LN_BACKEND=pallas python tools/bench_backbone.py ;;
+    # B1: bf16-resident input batch at cifar scale (saves the fp32->bf16
+    # convert of the [1024,224,224,3] input, ~0.9 GB HBM traffic per step)
+    B1) run_step B1 '"metric"' 3 env BENCH_IMAGE_BF16=1 python bench.py ;;
+    # AT1/AT2: attention fwd block-budget sweep at the cifar schema step
+    AT1) run_step AT1 '"metric"' 3 env SCHEMANET_ATTN_FWD_BUDGET=4000000 python bench.py ;;
+    AT2) run_step AT2 '"metric"' 3 env SCHEMANET_ATTN_FWD_BUDGET=1000000 python bench.py ;;
     *) echo "unknown step $s" ;;
   esac
 done
