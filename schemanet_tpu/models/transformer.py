@@ -45,6 +45,7 @@ class EncoderLayer(nn.Module):
         fused: bool = False,
         fused_ln: Optional[bool] = None,  # LN fusion is probe-independent
         quant: bool = False,  # W8A8 projections (frozen-forward only)
+        block_fuse: bool = False,  # whole-layer fusion (no probes at all)
     ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
         fused_ln = fused if fused_ln is None else fused_ln
         attention = MultiHeadSelfAttention(
@@ -60,6 +61,46 @@ class EncoderLayer(nn.Module):
         )
         norm1 = nn.LayerNorm(epsilon=self.norm_eps, dtype=self.dtype, name="norm1")
         norm2 = nn.LayerNorm(epsilon=self.norm_eps, dtype=self.dtype, name="norm2")
+
+        # whole-layer fusion for the FROZEN deterministic forward: two Pallas
+        # kernels per layer instead of ~6 HBM activation round trips
+        # (ops/pallas/encoder_block.py). `block_fuse` is set by Transformer.run
+        # only when NO probe of this layer is captured; dropout-live / masked /
+        # post-norm / quantised calls keep the per-op paths too.
+        if (
+            block_fuse
+            and deterministic
+            and self.pre_norm
+            and attn_mask is None
+            and not quant
+            and not self.is_initializing()
+        ):
+            from ..ops.pallas.encoder_block import attn_block, block_backend, ffn_block
+
+            backend = block_backend()
+            if backend in ("pallas", "interpret"):
+                interp = backend == "interpret"
+                # materialise submodule params only (tiny calls, DCE'd)
+                _ = attention(seq[:1, :1], None, True, False, False)
+                _ = mlp(seq[:1, :1], True)
+                _ = norm1(seq[:1, :1]), norm2(seq[:1, :1])
+                pa = attention.variables["params"]
+                pm = mlp.variables["params"]
+                p1 = norm1.variables["params"]
+                p2 = norm2.variables["params"]
+                seq = attn_block(
+                    seq, p1["scale"], p1["bias"],
+                    pa["linear_qkv"]["kernel"], pa["linear_qkv"]["bias"],
+                    pa["linear_out"]["kernel"], pa["linear_out"]["bias"],
+                    self.num_heads, eps=self.norm_eps, interpret=interp,
+                )
+                seq = ffn_block(
+                    seq, p2["scale"], p2["bias"],
+                    pm["linear1"]["kernel"], pm["linear1"]["bias"],
+                    pm["linear2"]["kernel"], pm["linear2"]["bias"],
+                    activation=self.activation, eps=self.norm_eps, interpret=interp,
+                )
+                return seq, {"out": seq}
 
         def dropped(x):
             if self.dropout and not deterministic:
@@ -221,8 +262,14 @@ class Transformer(nn.Module):
             fused_i = fused_attention and not any(
                 c in capture for c in (f"layers_{i}.attn", f"layers_{i}.attn_raw")
             )
+            # whole-layer fusion additionally requires NO intermediate probe
+            # of this layer (resid1/resid2); 'out' equals the returned seq
+            block_i = fused_i and not any(
+                c in capture for c in (f"layers_{i}.resid1", f"layers_{i}.resid2")
+            )
             seq, probes = self.layers[i](
-                seq, attn_mask, deterministic, fused_i, fused_attention, quant
+                seq, attn_mask, deterministic, fused_i, fused_attention, quant,
+                block_i,
             )
             for kind, value in probes.items():
                 probe_name = f"layers_{i}.{kind}"

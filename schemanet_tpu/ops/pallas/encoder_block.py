@@ -1,0 +1,188 @@
+"""Whole-encoder-half fused Pallas kernels for the FROZEN forward path.
+
+The round-3 profile of the CIFAR SchemaNet step attributed 65% of the step to
+the frozen backbone forward, almost all HBM-bound: every encoder layer makes
+~6 HBM round trips of the [bs*n, d] activation (LN1 -> qkv projection ->
+attention -> out projection -> residual -> LN2 -> FFN -> residual), and the
+qkv tensor (3x the activation) round-trips twice more. These two kernels
+collapse a pre-norm encoder layer into exactly TWO HBM round trips:
+
+* ``attn_block``:  y = x + (MHSA(LN1(x) @ Wqkv + bqkv) @ Wo + bo)
+* ``ffn_block``:   z = y + (act(LN2(y) @ W1 + b1) @ W2 + b2)
+
+Weights live in VMEM for the whole grid; per item the LN statistics, the qkv
+tensor, the [n, n] score tiles, and the FFN hidden state never leave VMEM.
+
+Forward-only BY DESIGN: the frozen-backbone consumers (SchemaNet training's
+stop-gradient backbone, extraction, init, eval, serving) never differentiate
+through the backbone, and gradient-carrying paths (stage-0 fine-tuning,
+dropout-live calls) keep the per-op kernels with their recompute VJPs.
+Gated by the policy's ``block`` field (ops/policy.py) inside
+``models/transformer.py`` — engaged only when deterministic, un-probed,
+mask-free, pre-norm, and unquantised.
+
+Numerics match the XLA path op for op: LN statistics and scale/bias in fp32
+(flax.linen.LayerNorm fast-variance semantics), matmuls accumulate fp32 on
+the MXU and round once to the compute dtype, bias adds in the compute dtype
+(flax Dense), q pre-scaled in its own dtype, softmax in fp32
+(models/attention.py dot_product_attention; reference mha.py:253-257).
+Parity pinned by tests/test_encoder_block.py.
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _ln_rows(x, scale_ref, bias_ref, eps):
+    """fp32 LayerNorm of a [n, d] block, output cast to x.dtype."""
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.maximum(jnp.mean(xf * xf, axis=-1, keepdims=True) - mean * mean, 0.0)
+    y = (xf - mean) * jax.lax.rsqrt(var + eps)
+    y = y * scale_ref[...].astype(jnp.float32) + bias_ref[...].astype(jnp.float32)
+    return y.astype(x.dtype)
+
+
+def _dense(x, w_ref, b_ref):
+    """flax Dense semantics: fp32 MXU accumulation rounded once to the
+    compute dtype, bias added in the compute dtype."""
+    y = jnp.dot(x, w_ref[...], preferred_element_type=jnp.float32).astype(x.dtype)
+    return y + b_ref[...]
+
+
+def _attn_block_kernel(
+    x_ref, g1_ref, be1_ref, wqkv_ref, bqkv_ref, wo_ref, bo_ref, out_ref,
+    *, num_heads, head_dim, scale, eps,
+):
+    H, d = num_heads, head_dim
+    for b in range(x_ref.shape[0]):
+        xb = x_ref[b]  # [n, dim]
+        qkv = _dense(_ln_rows(xb, g1_ref, be1_ref, eps), wqkv_ref, bqkv_ref)
+        outs = []
+        for h in range(H):
+            q = qkv[:, h * d : (h + 1) * d] * qkv.dtype.type(scale)
+            k = qkv[:, (H + h) * d : (H + h + 1) * d]
+            v = qkv[:, (2 * H + h) * d : (2 * H + h + 1) * d]
+            scores = jax.lax.dot_general(
+                q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+            )
+            attn = jax.nn.softmax(scores, axis=-1)
+            out = jnp.dot(
+                attn.astype(v.dtype), v, preferred_element_type=jnp.float32
+            )
+            outs.append(out.astype(xb.dtype))
+        proj = _dense(jnp.concatenate(outs, axis=-1), wo_ref, bo_ref)
+        out_ref[b] = xb + proj
+
+
+def _ffn_block_kernel(
+    x_ref, g2_ref, be2_ref, w1_ref, b1_ref, w2_ref, b2_ref, out_ref,
+    *, eps, activation,
+):
+    from .mlp import _kernel_activation
+
+    x = x_ref[...]  # [rows, d] (row-flattened like ops/pallas/mlp.py)
+    h = _dense(_ln_rows(x, g2_ref, be2_ref, eps), w1_ref, b1_ref)
+    h = _kernel_activation(activation)(h)
+    out_ref[...] = x + _dense(h, w2_ref, b2_ref)
+
+
+def _block_items(n, dim, three_hd, itemsize) -> int:
+    """Items per program for the attention half: the per-item transients
+    (bf16 qkv + two fp32 [n, n] score tiles per live head) dominate; keep the
+    double-buffered io blocks around the same budget as the flash kernel."""
+    budget = int(os.environ.get("SCHEMANET_BLOCK_FWD_BUDGET", 2_000_000))
+    return max(1, min(8, budget // (n * three_hd * itemsize)))
+
+
+def attn_block(x, ln_scale, ln_bias, wqkv, bqkv, wo, bo, num_heads,
+               eps=1e-6, interpret=False):
+    """x + MHSA-half of a pre-norm encoder layer. [bs, n, dim] -> same."""
+    bs, n, dim = x.shape
+    three_hd = wqkv.shape[1]
+    d = three_hd // (3 * num_heads)
+    blk = _block_items(n, dim, three_hd, x.dtype.itemsize)
+    # operands in the compute dtype like flax Dense / the surrounding model
+    wqkv, bqkv, wo, bo = (a.astype(x.dtype) for a in (wqkv, bqkv, wo, bo))
+    return pl.pallas_call(
+        functools.partial(
+            _attn_block_kernel,
+            num_heads=num_heads, head_dim=d, scale=1.0 / (d ** 0.5), eps=float(eps),
+        ),
+        grid=(pl.cdiv(bs, blk),),
+        in_specs=[
+            pl.BlockSpec((blk, n, dim), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((dim,), lambda b: (0,), memory_space=pltpu.VMEM),
+            pl.BlockSpec((dim,), lambda b: (0,), memory_space=pltpu.VMEM),
+            pl.BlockSpec((dim, three_hd), lambda b: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((three_hd,), lambda b: (0,), memory_space=pltpu.VMEM),
+            pl.BlockSpec((num_heads * d, dim), lambda b: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((dim,), lambda b: (0,), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (blk, n, dim), lambda b: (b, 0, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((bs, n, dim), x.dtype),
+        cost_estimate=pl.CostEstimate(
+            # qkv + out projections + the per-head score/value matmuls
+            flops=2 * bs * n * dim * three_hd
+            + 2 * bs * n * num_heads * d * dim
+            + 2 * 2 * bs * num_heads * n * n * d,
+            bytes_accessed=2 * x.size * x.dtype.itemsize
+            + (wqkv.size + wo.size) * x.dtype.itemsize,
+            transcendentals=bs * num_heads * n * n + bs * n,
+        ),
+        interpret=interpret,
+    )(x, ln_scale, ln_bias, wqkv, bqkv, wo, bo)
+
+
+def _ffn_rows(f: int, itemsize: int) -> int:
+    budget = int(os.environ.get("SCHEMANET_BLOCK_FFN_BUDGET", 2_500_000))
+    return max(256, min(2048, (budget // (f * itemsize)) // 256 * 256))
+
+
+def ffn_block(x, ln_scale, ln_bias, w1, b1, w2, b2, activation="gelu",
+              eps=1e-6, interpret=False):
+    """x + FFN-half of a pre-norm encoder layer. [bs, n, d] -> same."""
+    bs, n, dim = x.shape
+    f = w1.shape[1]
+    rows = _ffn_rows(f, x.dtype.itemsize)
+    w1, b1, w2, b2 = (a.astype(x.dtype) for a in (w1, b1, w2, b2))
+    xr = x.reshape(bs * n, dim)  # free bitcast
+    out = pl.pallas_call(
+        functools.partial(_ffn_block_kernel, eps=float(eps), activation=activation),
+        grid=(pl.cdiv(bs * n, rows),),
+        in_specs=[
+            pl.BlockSpec((rows, dim), lambda b: (b, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((dim,), lambda b: (0,), memory_space=pltpu.VMEM),
+            pl.BlockSpec((dim,), lambda b: (0,), memory_space=pltpu.VMEM),
+            pl.BlockSpec((dim, f), lambda b: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((f,), lambda b: (0,), memory_space=pltpu.VMEM),
+            pl.BlockSpec((f, dim), lambda b: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((dim,), lambda b: (0,), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((rows, dim), lambda b: (b, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((bs * n, dim), x.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * 2 * bs * n * dim * f,
+            bytes_accessed=2 * x.size * x.dtype.itemsize
+            + (w1.size + w2.size) * x.dtype.itemsize,
+            transcendentals=bs * n * f + bs * n,
+        ),
+        interpret=interpret,
+    )(xr, ln_scale, ln_bias, w1, b1, w2, b2)
+    return out.reshape(bs, n, dim)
+
+
+def block_backend() -> str:
+    """'pallas' | 'interpret' | 'xla'(= off) — the policy's ``block`` field."""
+    from ..policy import resolve
+
+    return resolve("block")

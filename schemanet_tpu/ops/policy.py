@@ -57,6 +57,9 @@ _AUTO_TPU = {
     "attn": "pallas",
     "ln": "xla",
     "mlp": "pallas",
+    # whole-encoder-half fusion for frozen forwards (ops/pallas/encoder_block)
+    # — default off until the on-chip A/B lands; flip per measurement
+    "block": "xla",
     "gnn_ln": "xla",
     "graphconv": "xla",
     "vq": "xla",
@@ -65,11 +68,12 @@ _AUTO_TPU = {
     "prng_impl": "threefry",
 }
 _AUTO_CPU = dict(
-    _AUTO_TPU, attn="xla", mlp="xla"
+    _AUTO_TPU, attn="xla", mlp="xla", block="xla"
 )  # identical variants; only the Mosaic-kernel fields change
 
 _ENV = {
     "attn": "SCHEMANET_ATTN_BACKEND",
+    "block": "SCHEMANET_BLOCK_BACKEND",
     "ln": "SCHEMANET_LN_BACKEND",
     "mlp": "SCHEMANET_MLP_BACKEND",
     "gnn_ln": "SCHEMANET_GNN_LN_BACKEND",
@@ -82,6 +86,7 @@ _ENV = {
 
 _CHOICES = {
     "attn": ("auto", "pallas", "interpret", "xla"),
+    "block": ("auto", "pallas", "interpret", "xla"),
     "ln": ("auto", "pallas", "interpret", "xla"),
     "mlp": ("auto", "pallas", "interpret", "xla"),
     "gnn_ln": ("auto", "pallas", "interpret", "xla"),
@@ -96,6 +101,7 @@ _CHOICES = {
 @dataclasses.dataclass
 class KernelPolicy:
     attn: str = "auto"
+    block: str = "auto"
     ln: str = "auto"
     mlp: str = "auto"
     gnn_ln: str = "auto"

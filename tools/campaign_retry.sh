@@ -98,6 +98,17 @@ for s in "$@"; do
     # AT1/AT2: attention fwd block-budget sweep at the cifar schema step
     AT1) run_step AT1 '"metric"' 3 env SCHEMANET_ATTN_FWD_BUDGET=4000000 python bench.py ;;
     AT2) run_step AT2 '"metric"' 3 env SCHEMANET_ATTN_FWD_BUDGET=1000000 python bench.py ;;
+    # BL*: whole-encoder-half fused kernels (ops/pallas/encoder_block.py) on
+    # the frozen backbone forward — cifar schema step / imagenet / extraction
+    BL1) run_step BL1 '"metric"' 3 env SCHEMANET_BLOCK_BACKEND=pallas python bench.py ;;
+    BL2) run_step BL2 '"metric"' 3 env BENCH_SCALE=imagenet SCHEMANET_BLOCK_BACKEND=pallas python bench.py ;;
+    BL3) run_step BL3 'img/s' 2 env SCHEMANET_BLOCK_BACKEND=pallas python tools/bench_extract.py ;;
+    BL4) run_step BL4 '"metric"' 3 env SCHEMANET_BLOCK_BACKEND=pallas SCHEMANET_BLOCK_FWD_BUDGET=1000000 python bench.py ;;
+    BL5) run_step BL5 '"metric"' 3 env SCHEMANET_BLOCK_BACKEND=pallas SCHEMANET_BLOCK_FWD_BUDGET=4000000 python bench.py ;;
+    # I2: imagenet big-batch retry with full remat (bs=2048 OOMed under dots)
+    I2) run_step I2 '"metric"' 3 env BENCH_SCALE=imagenet BENCH_BATCH=2048 BENCH_REMAT=full BENCH_REMAT_CLASS_GNN=1 BENCH_IMAGE_BF16=1 python bench.py ;;
+    # V: dropout gradient validator (interpret-oracle comparison)
+    V) run_step V 'PASS\|FAIL' 12 python tools/check_dropout_grad.py ;;
     *) echo "unknown step $s" ;;
   esac
 done
