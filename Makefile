@@ -7,7 +7,7 @@ test:
 	python -m pytest tests/ -q
 
 test-fast:
-	python -m pytest tests/ -q -x --ignore=tests/test_pipeline_e2e.py
+	python -m pytest tests/ -q -x -m "not slow"
 
 bench:
 	python bench.py

@@ -14,6 +14,8 @@ SchemaNet step bs=1024 bf16 unless noted):
 field       winner   evidence
 ==========  =======  =====================================================
 attn        pallas   [X1] xla 124.1 ms vs 97.6 default — fused flash wins
+block       pallas   r04 [BL1]: whole-encoder-half fusion 87.6 -> 74.3 ms
+                     (frozen forwards only; see ops/pallas/encoder_block.py)
 ln          xla      [X2] 87.5 ms vs 97.6 pallas — the round-3 regression:
                      the fwd-only backbone LN loses to XLA's fused epilogue
 mlp         pallas   [X3] xla 105.5 ms vs 97.6 — VMEM-resident hidden wins
@@ -58,8 +60,8 @@ _AUTO_TPU = {
     "ln": "xla",
     "mlp": "pallas",
     # whole-encoder-half fusion for frozen forwards (ops/pallas/encoder_block)
-    # — default off until the on-chip A/B lands; flip per measurement
-    "block": "xla",
+    # — r04 campaign [BL1]: 87.6 -> 74.3 ms at the CIFAR SchemaNet step
+    "block": "pallas",
     "gnn_ln": "xla",
     "graphconv": "xla",
     "vq": "xla",

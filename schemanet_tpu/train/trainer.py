@@ -93,6 +93,7 @@ class Trainer:
         extra_scalars: Optional[Callable[[Any], Dict[str, float]]] = None,
         buffer_guard: Optional[Callable[[Any], None]] = None,
         name: str = "trainer",
+        compute_dtype: Any = None,
     ):
         self.cfg = cfg
         self.apply_fn = apply_fn
@@ -116,6 +117,12 @@ class Trainer:
         self._norm_std = jnp.asarray(
             getattr(train_loader, "std", (1.0, 1.0, 1.0)), jnp.float32
         )
+        # the model's compute dtype: _prep_image emits it directly so the
+        # normalised image is written (and re-read by the patch embed) at the
+        # narrow width — on bf16 runs this halves the step's image traffic;
+        # numerically identical because the patch-embed Dense promotes its
+        # input to the module dtype anyway
+        self._compute_dtype = compute_dtype
 
         steps_per_epoch = max(len(train_loader), 1)
         self.steps_per_epoch = steps_per_epoch
@@ -185,9 +192,11 @@ class Trainer:
 
     def _prep_image(self, image):
         """uint8 batches are normalised on device (XLA fuses this into the
-        first conv); float batches pass through untouched."""
+        first conv); the result is emitted in the model's compute dtype."""
         if image.dtype == jnp.uint8:
-            return (image.astype(jnp.float32) / 255.0 - self._norm_mean) / self._norm_std
+            image = (image.astype(jnp.float32) / 255.0 - self._norm_mean) / self._norm_std
+        if self._compute_dtype is not None and image.dtype != self._compute_dtype:
+            image = image.astype(self._compute_dtype)
         return image
 
     def _train_step_impl(self, state: TrainState, batch):

@@ -147,6 +147,7 @@ def backbone_worker(global_cfg: Dict[str, Any], args: LaunchArgs) -> Dict[str, A
         resume=args.resume,
         seed=args.seed,
         name="backbone_trainer",
+        compute_dtype=resolve_dtype(train_cfg.get("dtype")),
     )
     result = trainer()
     return {"trainer": trainer, "eval": result, "model": model}
@@ -270,6 +271,7 @@ def schema_net_worker(global_cfg: Dict[str, Any], args: LaunchArgs) -> Dict[str,
         extra_scalars=attr_scalars,
         buffer_guard=buffer_guard,
         name="schema_net_trainer",
+        compute_dtype=resolve_dtype(train_cfg.get("dtype")),
     )
     result = trainer()
     return {"trainer": trainer, "eval": result, "predictor": predictor}
