@@ -109,6 +109,10 @@ for s in "$@"; do
     I2) run_step I2 '"metric"' 3 env BENCH_SCALE=imagenet BENCH_BATCH=2048 BENCH_REMAT=full BENCH_REMAT_CLASS_GNN=1 BENCH_IMAGE_BF16=1 python bench.py ;;
     # V: dropout gradient validator (interpret-oracle comparison)
     V) run_step V 'PASS\|FAIL' 12 python tools/check_dropout_grad.py ;;
+    # A3: cifar bs=2048 operating point (class-GNN work is batch-independent)
+    A3) run_step A3 '"metric"' 3 env BENCH_BATCH=2048 python bench.py ;;
+    # VQ1: streaming-argmin Pallas VQ at cifar scale
+    VQ1) run_step VQ1 '"metric"' 3 env SCHEMANET_VQ_BACKEND=pallas python bench.py ;;
     *) echo "unknown step $s" ;;
   esac
 done
