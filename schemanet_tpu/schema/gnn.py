@@ -323,8 +323,12 @@ class GraphConv(nn.Module):
         )
 
         backend = graphconv_backend()
-        if backend in ("pallas", "interpret") and shape_fits_kernel(
-            edges.shape[-1], feat.shape[-1], feat.dtype.itemsize
+        if (
+            backend in ("pallas", "interpret")
+            and not self.is_initializing()  # init may trace on a host device
+            and shape_fits_kernel(
+                edges.shape[-1], feat.shape[-1], feat.dtype.itemsize
+            )
         ):
             # opt-in fused kernel: E_sym/t never round-trip HBM (see
             # ops/pallas/graphconv.py); numerics match _sym_conv. The shape
