@@ -45,8 +45,9 @@ def main():
     # the fused frozen-forward kernels (round 2)
     # the class-GNN + atlas optimizer work is batch-independent and dominates
     # at ImageNet scale (73% of the bs=256 step), so the operating point is
-    # the largest batch that fits: bs=1024 + remat=dots = 2,338 img/s
-    # (1,042 at bs=256; bs=2048 OOMs 17.5G/15.75G HBM). See PERFORMANCE.md.
+    # the largest batch that fits: bs=1024 + remat_class_gnn (no global remat)
+    # = 3,173 img/s at 322.7 ms (r04 [J]); bs=2048 needs full remat and is
+    # slower per image (2,664, [I2]). See PERFORMANCE.md.
     batch_size = int(os.environ.get("BENCH_BATCH", 1024))
     num_classes = 1000 if scale == "imagenet" else 100
     num_codes = 8000 if scale == "imagenet" else 1024
@@ -72,10 +73,14 @@ def main():
             "embed_dim": 1024 if scale == "imagenet" else 256,
             "num_layers": 2,
             "activation": "relu",
-            # BENCH_REMAT_CLASS_GNN=1: recompute the class-GNN in backward
-            # (batch-independent) to free its ~5 GB of saved residuals — the
-            # memory that OOMed bs=2048 at ImageNet scale (17.5/15.75 G HBM)
-            "remat_class_gnn": os.environ.get("BENCH_REMAT_CLASS_GNN", "0") == "1",
+            # remat_class_gnn (default ON at ImageNet scale, mirrors the
+            # shipped YAMLs): recompute the class-GNN in backward — it is
+            # batch-independent and its ~5 GB of saved residuals are what
+            # forced global remat / OOMed bs=2048 (17.5/15.75 G HBM).
+            # Measured 322.7 ms/step vs 362.7 with remat=dots (r04 [J] vs [B]).
+            "remat_class_gnn": os.environ.get(
+                "BENCH_REMAT_CLASS_GNN", "1" if scale == "imagenet" else "0"
+            ) == "1",
         },
         # BENCH_QUANT_BACKBONE=1: W8A8 int8 frozen-backbone forward inside
         # the train step (ops/quant.py) — safe gradient-wise (the backbone
@@ -156,14 +161,14 @@ def main():
             out = predictor.apply({"params": full, "buffers": buffers}, image)
             return weighted_total(loss_fn(out, {"label": label_}), weights)
 
-        remat = os.environ.get("BENCH_REMAT", "dots")
+        remat = os.environ.get("BENCH_REMAT", "none")
         if os.environ.get("BENCH_SCALE") == "imagenet" and remat != "none":
-            # remat: the [1000,500,500] atlas + Adam moments leave no HBM room
-            # for saved activations at this scale (trainer cfg `remat: true`).
-            # BENCH_REMAT=dots (default, like the shipped ImageNet configs)
-            # keeps matmul outputs and recomputes elementwise only — faster
-            # when it fits; BENCH_REMAT=full forces full rematerialisation;
-            # BENCH_REMAT=none disables remat (fits only at smaller batch).
+            # Global remat is OFF by default (like the shipped ImageNet
+            # configs): with remat_class_gnn freeing the class-GNN residuals,
+            # bs=1024 fits without it and runs 322.7 ms/step vs 362.7 with
+            # remat=dots (campaign r04 [J] vs [B]). BENCH_REMAT=dots keeps
+            # matmul outputs and recomputes elementwise only; BENCH_REMAT=full
+            # forces full rematerialisation (needed for bs=2048, step [I2]).
             policy = jax.checkpoint_policies.dots_saveable if remat == "dots" else None
             compute = jax.checkpoint(compute, policy=policy)
         loss, grads = jax.value_and_grad(compute)(train_params)
