@@ -146,3 +146,41 @@ def test_all_round3_knobs_compose(rng, monkeypatch):
             np.asarray(b), np.asarray(a), rtol=1e-3, atol=5e-4,
             err_msg=jax.tree_util.keystr(kp),
         )
+
+
+def test_shipped_imagenet_configs_default_to_class_gnn_remat():
+    """The round-4 default flip (campaign r04 [J] vs [B], 322.7 vs 362.7
+    ms/step): ImageNet-scale configs ship `gnn.remat_class_gnn: true` and NO
+    global remat, and the values flow YAML -> build_predictor / TrainerConfig."""
+    from schemanet_tpu.utils.config import get_cfg
+    from schemanet_tpu.schema.predictor import build_predictor
+    from schemanet_tpu.train.trainer import TrainerConfig
+
+    for p in (
+        "configs/imagenet/schema_net/deit_small-l9-M_8000.yaml",
+        "configs/imagenet/schema_net/deit_base-l9-M_8000.yaml",
+    ):
+        cfg = get_cfg(p)
+        assert cfg["schema_net"]["gnn"]["remat_class_gnn"] is True, p
+        tc = TrainerConfig.from_cfg(cfg["training"])
+        assert tc.remat is False, p
+
+    embed_dim = 384
+    model_cfg = {
+        "name": "vit",
+        "transformer": dict(
+            embed_dim=embed_dim, num_encoder_layers=2,
+            num_heads=embed_dim // 64, dim_feedforward=4 * embed_dim,
+            dropout=None, activation="gelu", final_norm=True, norm_eps=1e-6,
+        ),
+        "patch_embed": dict(img_size=224, patch_size=16, image_channels=3),
+        "pos_encoding": dict(name="learnable"),
+    }
+    cfg = get_cfg("configs/imagenet/schema_net/deit_small-l9-M_8000.yaml")
+    schema_cfg = dict(cfg["schema_net"], ir_atlas=dict(
+        cfg["schema_net"]["ir_atlas"], class_max_vertices=32))
+    predictor = build_predictor(
+        model_cfg, schema_cfg, num_classes=10, num_codes=64,
+        code_dim=embed_dim, encode_layer=1,
+    )
+    assert predictor.cfg.remat_class_gnn is True
