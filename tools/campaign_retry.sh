@@ -113,6 +113,9 @@ for s in "$@"; do
     A3) run_step A3 '"metric"' 3 env BENCH_BATCH=2048 python bench.py ;;
     # VQ1: streaming-argmin Pallas VQ at cifar scale
     VQ1) run_step VQ1 '"metric"' 3 env SCHEMANET_VQ_BACKEND=pallas python bench.py ;;
+    # E1: fused Pallas GraphConv at cifar scale (the GNN matcher is ~22% of
+    # the 74.3 ms default step, mostly HBM on E_sym round trips)
+    E1) run_step E1 '"metric"' 3 env SCHEMANET_GRAPHCONV_BACKEND=pallas python bench.py ;;
     *) echo "unknown step $s" ;;
   esac
 done
