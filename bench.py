@@ -145,16 +145,60 @@ def main():
     train_params = {k: params[k] for k in ("schema_net", "matcher")}
     frozen_params = {k: params[k] for k in ("backbone", "ingredient_backbone")}
     tx = optax.adamw(1e-3)
-    opt_state = tx.init(train_params)
+
+    # BENCH_ATLAS_OPT=fused: one Pallas pass does AdamW + the atlas projection
+    # for the big vertex/edge tensors (ops/pallas/atlas_opt.py) — the
+    # projection moves from "before every step" to "fused into the previous
+    # update", which sees the gradient at the identical projected point once
+    # the params are projected up-front (parity: tests/test_atlas_opt.py)
+    use_fused_opt = os.environ.get("BENCH_ATLAS_OPT") == "fused"
+    HOT = ("vertex_weights", "edge_weights")
+
+    def split_hot(tp):
+        sn = tp["schema_net"]
+        hot = {k: sn[k] for k in HOT}
+        rest = dict(tp, schema_net={k: v for k, v in sn.items() if k not in HOT})
+        return hot, rest
+
+    if use_fused_opt:
+        from schemanet_tpu.ops.pallas.atlas_opt import adamw_project_rows as _apr
+        from schemanet_tpu.ops.policy import _on_tpu
+
+        # Mosaic kernels only compile for TPU; interpret keeps the fused
+        # path exercisable on the CPU cost-model runs
+        adamw_project_rows = partial(_apr, interpret=not _on_tpu())
+
+        train_params = dict(
+            train_params,
+            schema_net=project_atlas_params(train_params["schema_net"], atlas_cfg),
+        )
+        hot0, rest0 = split_hot(train_params)
+        opt_state = (
+            tx.init(rest0),
+            jnp.zeros((), jnp.int32),
+            jax.tree.map(jnp.zeros_like, hot0),
+            jax.tree.map(jnp.zeros_like, hot0),
+        )
+    else:
+        opt_state = tx.init(train_params)
 
     # donate params+opt_state: lets XLA update the 105M-param atlas + Adam
     # moments in place instead of allocating fresh buffers every step
     @partial(jax.jit, donate_argnums=(0, 1))
     def train_step(train_params, opt_state, image, label_):
-        train_params = dict(
-            train_params,
-            schema_net=project_atlas_params(train_params["schema_net"], atlas_cfg),
-        )
+        if use_fused_opt:
+            # vertex/edge weights are already projected (fused into the
+            # previous update); only the cheap attr-weight clamp stays here
+            sn = dict(train_params["schema_net"])
+            if atlas_cfg.clamp_weights:
+                for key in ("vertex_attribute_weights", "edge_attribute_weights"):
+                    sn[key] = jnp.clip(sn[key], 0.01, 10.0)
+            train_params = dict(train_params, schema_net=sn)
+        else:
+            train_params = dict(
+                train_params,
+                schema_net=project_atlas_params(train_params["schema_net"], atlas_cfg),
+            )
 
         def compute(tp):
             full = dict(frozen_params, **tp)
@@ -172,6 +216,26 @@ def main():
             policy = jax.checkpoint_policies.dots_saveable if remat == "dots" else None
             compute = jax.checkpoint(compute, policy=policy)
         loss, grads = jax.value_and_grad(compute)(train_params)
+        if use_fused_opt:
+            inner, count, m_hot, v_hot = opt_state
+            g_hot, g_rest = split_hot(grads)
+            p_hot, p_rest = split_hot(train_params)
+            updates, inner2 = tx.update(g_rest, inner, p_rest)
+            p_rest = optax.apply_updates(p_rest, updates)
+            new_hot, new_m, new_v = {}, {}, {}
+            for k in HOT:
+                new_hot[k], new_m[k], new_v[k] = adamw_project_rows(
+                    p_hot[k], g_hot[k], m_hot[k], v_hot[k], count,
+                    lr=1e-3,
+                    project=atlas_cfg.apply_normalize,
+                    remove_self_loop=(
+                        k == "edge_weights" and atlas_cfg.remove_self_loop
+                    ),
+                )
+            params2 = dict(
+                p_rest, schema_net=dict(p_rest["schema_net"], **new_hot)
+            )
+            return params2, (inner2, count + 1, new_m, new_v), loss
         updates, opt_state2 = tx.update(grads, opt_state, train_params)
         return optax.apply_updates(train_params, updates), opt_state2, loss
 

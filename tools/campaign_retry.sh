@@ -116,6 +116,10 @@ for s in "$@"; do
     # E1: fused Pallas GraphConv at cifar scale (the GNN matcher is ~22% of
     # the 74.3 ms default step, mostly HBM on E_sym round trips)
     E1) run_step E1 '"metric"' 3 env SCHEMANET_GRAPHCONV_BACKEND=pallas python bench.py ;;
+    # OPT1/OPT2: fused AdamW+projection for the atlas tensors
+    # (ops/pallas/atlas_opt.py) — removes the separate projection HBM sweep
+    OPT1) run_step OPT1 '"metric"' 3 env BENCH_ATLAS_OPT=fused python bench.py ;;
+    OPT2) run_step OPT2 '"metric"' 3 env BENCH_SCALE=imagenet BENCH_ATLAS_OPT=fused python bench.py ;;
     *) echo "unknown step $s" ;;
   esac
 done
