@@ -68,6 +68,9 @@ _AUTO_TPU = {
     "symconv": "single",
     "static_embed_bwd": "blocked",
     "prng_impl": "threefry",
+    # fused AdamW+projection for the atlas tensors (ops/pallas/atlas_opt.py):
+    # pending the r04 campaign OPT1/OPT2 A/B — flip to "fused" if it wins
+    "atlas_opt": "xla",
 }
 _AUTO_CPU = dict(
     _AUTO_TPU, attn="xla", mlp="xla", block="xla"
@@ -84,6 +87,7 @@ _ENV = {
     "symconv": "SCHEMANET_SYMCONV",
     "static_embed_bwd": "SCHEMANET_STATIC_EMBED_BWD",
     "prng_impl": "SCHEMANET_PRNG_IMPL",
+    "atlas_opt": "SCHEMANET_ATLAS_OPT",
 }
 
 _CHOICES = {
@@ -97,6 +101,7 @@ _CHOICES = {
     "symconv": ("auto", "single", "two"),
     "static_embed_bwd": ("auto", "blocked", "sorted_scatter"),
     "prng_impl": ("auto", "threefry", "rbg"),
+    "atlas_opt": ("auto", "fused", "interpret", "xla"),
 }
 
 
@@ -112,6 +117,7 @@ class KernelPolicy:
     symconv: str = "auto"
     static_embed_bwd: str = "auto"
     prng_impl: str = "auto"
+    atlas_opt: str = "auto"
 
 
 _policy = KernelPolicy()

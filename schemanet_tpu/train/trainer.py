@@ -15,6 +15,7 @@ loss scaling needed.
 from __future__ import annotations
 
 import dataclasses
+import functools
 import logging
 import time
 from typing import Any, Callable, Dict, Optional, Sequence
@@ -94,6 +95,7 @@ class Trainer:
         buffer_guard: Optional[Callable[[Any], None]] = None,
         name: str = "trainer",
         compute_dtype: Any = None,
+        fused_atlas: Optional[Dict[str, Any]] = None,
     ):
         self.cfg = cfg
         self.apply_fn = apply_fn
@@ -102,6 +104,22 @@ class Trainer:
         self.train_loader = train_loader
         self.val_loader = val_loader
         self.project_params = project_params
+        # fused AdamW+projection for the atlas tensors (ops/pallas/atlas_opt):
+        # spec built by the worker — {'subtree', 'hot': {name: remove_self_loop},
+        # 'lr_scale', 'weight_decay', 'clamp', 'interpret'}. The hot tensors'
+        # projection folds into the update (gradient sees identical projected
+        # params — see atlas_opt.py docstring); project_params degrades to the
+        # cheap attr-weight clamp and the full projection runs once at init.
+        self._fused_atlas = fused_atlas
+        if fused_atlas is not None:
+            if project_params is None:
+                raise ValueError("fused_atlas requires project_params")
+            self.project_params = fused_atlas["clamp"]
+            from ..ops.pallas.atlas_opt import adamw_project_rows
+
+            self._adamw_project_rows = functools.partial(
+                adamw_project_rows, interpret=bool(fused_atlas.get("interpret"))
+            )
         self.logger = logging.getLogger(name)
         self.tb = TBWriter(log_dir)
         self.top_k = tuple(top_k)
@@ -149,18 +167,42 @@ class Trainer:
         # the jitted steps (no per-call dispatch, no optimizer state)
         train_params, frozen_params = split_by_labels(params, self.param_labels)
         self.frozen_params = shard_params(self.mesh, frozen_params)
-        self.tx, _ = make_optimizer(
-            train_params,
-            cfg.optimizer,
-            self.schedule,
-            param_groups=cfg.param_groups,
-            drop_remain=False,
-            clip_max_norm=cfg.clip_max_norm,
-        )
+        if self._fused_atlas is not None:
+            # project once up front: from here on the hot tensors are kept
+            # projected by the fused update itself (the per-step hook is only
+            # the attr clamp). Clipping moves out of the optax chain so the
+            # global norm still spans ALL grads, hot included.
+            train_params = project_params(train_params)
+            hot0, rest0 = self._split_hot(train_params)
+            self.tx, _ = make_optimizer(
+                rest0,
+                cfg.optimizer,
+                self.schedule,
+                param_groups=cfg.param_groups,
+                drop_remain=False,
+                clip_max_norm=None,
+            )
+            train_params = shard_params(self.mesh, train_params)
+            buffers = shard_params(self.mesh, buffers)
+            hot0, rest0 = self._split_hot(train_params)
+            opt_state = {
+                "inner": jax.jit(self.tx.init)(rest0),
+                "m": jax.tree_util.tree_map(jnp.zeros_like, hot0),
+                "v": jax.tree_util.tree_map(jnp.zeros_like, hot0),
+            }
+        else:
+            self.tx, _ = make_optimizer(
+                train_params,
+                cfg.optimizer,
+                self.schedule,
+                param_groups=cfg.param_groups,
+                drop_remain=False,
+                clip_max_norm=cfg.clip_max_norm,
+            )
 
-        train_params = shard_params(self.mesh, train_params)
-        buffers = shard_params(self.mesh, buffers)
-        opt_state = jax.jit(self.tx.init)(train_params)
+            train_params = shard_params(self.mesh, train_params)
+            buffers = shard_params(self.mesh, buffers)
+            opt_state = jax.jit(self.tx.init)(train_params)
         self.state = TrainState(
             step=jnp.zeros((), jnp.int32),
             params=train_params,
@@ -189,6 +231,47 @@ class Trainer:
         self._eval_step = jax.jit(self._eval_step_impl)
 
     # -- jitted bodies -------------------------------------------------------
+
+    def _split_hot(self, tree):
+        """Split the fused-atlas hot leaves out of a train-param-shaped tree."""
+        spec = self._fused_atlas
+        sub = dict(tree[spec["subtree"]])
+        hot = {k: sub.pop(k) for k in spec["hot"]}
+        rest = dict(tree)
+        rest[spec["subtree"]] = sub
+        return hot, rest
+
+    def _fused_update(self, grads, state, params):
+        """AdamW + projection with the hot atlas tensors updated by the fused
+        Pallas kernel (one HBM pass instead of update + separate projection).
+
+        Clipping replicates optax.clip_by_global_norm over the FULL grad tree
+        (the chain inside self.tx carries no clip stage in this mode), so the
+        norm matches the unfused optimizer's exactly."""
+        spec = self._fused_atlas
+        if self.cfg.clip_max_norm:
+            clipper = optax.clip_by_global_norm(self.cfg.clip_max_norm)
+            grads, _ = clipper.update(grads, clipper.init(grads))
+        g_hot, g_rest = self._split_hot(grads)
+        p_hot, p_rest = self._split_hot(params)
+        opt = state.opt_state
+        updates, inner = self.tx.update(g_rest, opt["inner"], p_rest)
+        p_rest = optax.apply_updates(p_rest, updates)
+        # the inner adamw ticks its own count; the fused side's Adam bias
+        # correction and schedule both key off state.step (== updates applied)
+        lr_t = self.schedule(state.step) * spec["lr_scale"]
+        new_hot, new_m, new_v = {}, {}, {}
+        for k, remove_self_loop in spec["hot"].items():
+            new_hot[k], new_m[k], new_v[k] = self._adamw_project_rows(
+                p_hot[k], g_hot[k], opt["m"][k], opt["v"][k], state.step,
+                lr=lr_t,
+                weight_decay=spec["weight_decay"],
+                remove_self_loop=remove_self_loop,
+            )
+        sub = dict(p_rest[spec["subtree"]], **new_hot)
+        params = dict(p_rest)
+        params[spec["subtree"]] = sub
+        return params, {"inner": inner, "m": new_m, "v": new_v}
 
     def _prep_image(self, image):
         """uint8 batches are normalised on device (XLA fuses this into the
@@ -226,8 +309,11 @@ class Trainer:
         (total, (loss_dict, new_buffers)), grads = jax.value_and_grad(
             compute_loss, has_aux=True
         )(params)
-        updates, opt_state = self.tx.update(grads, state.opt_state, params)
-        params = optax.apply_updates(params, updates)
+        if self._fused_atlas is not None:
+            params, opt_state = self._fused_update(grads, state, params)
+        else:
+            updates, opt_state = self.tx.update(grads, state.opt_state, params)
+            params = optax.apply_updates(params, updates)
         new_state = state.replace(
             step=state.step + 1,
             params=params,
