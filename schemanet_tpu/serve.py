@@ -36,6 +36,12 @@ class ServePredictor:
     quant_int8: bool = False
 
     def __post_init__(self):
+        # variables are EXPLICIT jit arguments, not closure constants: closure
+        # capture embeds the full pytree (at ImageNet scale the atlas edge
+        # tensor alone is ~1 GB) into the serialized program, which remote-
+        # compile backends reject (axon tunnel: HTTP 413) and which bloats the
+        # executable. As arguments they stay device-resident buffers; the
+        # ~200-leaf dispatch overhead is noise at serving latencies.
         variables = {"params": self.params, "buffers": self.buffers}
         # Serving must be batch-invariant: the reference's instance-GNN pooling
         # divides by the *batch-max* live-slot count (gnn.py:96 + match.py:46),
@@ -57,12 +63,12 @@ class ServePredictor:
         )
 
         @jax.jit
-        def _predict(image):
+        def _predict_v(variables, image):
             out = serve_module.apply(variables, image)
             return out["pred"]
 
         @jax.jit
-        def _explain(image):
+        def _explain_v(variables, image):
             out = serve_module.apply(variables, image, True)
             c = self.predictor.cfg.atlas
             ingredients = out["ingredients"]  # [bs, L]
@@ -96,8 +102,8 @@ class ServePredictor:
                 "attn_cls": out["attn_cls"],
             }
 
-        self._predict = _predict
-        self._explain = _explain
+        self._predict = lambda image: _predict_v(variables, image)
+        self._explain = lambda image: _explain_v(variables, image)
 
     def _microbatches(self, images: np.ndarray):
         n = images.shape[0]
