@@ -120,6 +120,13 @@ for s in "$@"; do
     # (ops/pallas/atlas_opt.py) — removes the separate projection HBM sweep
     OPT1) run_step OPT1 '"metric"' 3 env BENCH_ATLAS_OPT=fused python bench.py ;;
     OPT2) run_step OPT2 '"metric"' 3 env BENCH_SCALE=imagenet BENCH_ATLAS_OPT=fused python bench.py ;;
+    # I3: bs=1536 at the [J]-winning remat config (no global remat, class-GNN
+    # remat only) — the class-GNN's 61% of the step ([F2]) is batch-
+    # independent, so a bigger batch amortises it IF the kept instance
+    # residuals still fit (bs=1536 under `dots` OOMed, [I])
+    I3) run_step I3 '"metric"' 3 env BENCH_SCALE=imagenet BENCH_BATCH=1536 BENCH_REMAT=none BENCH_REMAT_CLASS_GNN=1 BENCH_IMAGE_BF16=1 python bench.py ;;
+    # E2: [E] (imagenet fused Pallas GraphConv) combined with the I3 batch
+    E2) run_step E2 '"metric"' 3 env BENCH_SCALE=imagenet BENCH_BATCH=1536 BENCH_REMAT=none BENCH_REMAT_CLASS_GNN=1 BENCH_IMAGE_BF16=1 SCHEMANET_GRAPHCONV_BACKEND=pallas python bench.py ;;
     *) echo "unknown step $s" ;;
   esac
 done
