@@ -63,7 +63,11 @@ _AUTO_TPU = {
     # — r04 campaign [BL1]: 87.6 -> 74.3 ms at the CIFAR SchemaNet step
     "block": "pallas",
     "gnn_ln": "xla",
-    "graphconv": "xla",
+    # r04 campaign [E]: the fused sym_conv beats XLA on ImageNet class graphs
+    # (322.7 -> 314.7 ms; kills the E_sym materialise/transpose copies) and is
+    # neutral at CIFAR ([E1], where the shape gate keeps class graphs on XLA
+    # anyway — ops/pallas/graphconv.py shape_fits_kernel)
+    "graphconv": "pallas",
     "vq": "xla",
     "symconv": "single",
     "static_embed_bwd": "blocked",
@@ -73,7 +77,7 @@ _AUTO_TPU = {
     "atlas_opt": "xla",
 }
 _AUTO_CPU = dict(
-    _AUTO_TPU, attn="xla", mlp="xla", block="xla"
+    _AUTO_TPU, attn="xla", mlp="xla", block="xla", graphconv="xla"
 )  # identical variants; only the Mosaic-kernel fields change
 
 _ENV = {
