@@ -127,6 +127,10 @@ for s in "$@"; do
     I3) run_step I3 '"metric"' 3 env BENCH_SCALE=imagenet BENCH_BATCH=1536 BENCH_REMAT=none BENCH_REMAT_CLASS_GNN=1 BENCH_IMAGE_BF16=1 python bench.py ;;
     # E2: [E] (imagenet fused Pallas GraphConv) combined with the I3 batch
     E2) run_step E2 '"metric"' 3 env BENCH_SCALE=imagenet BENCH_BATCH=1536 BENCH_REMAT=none BENCH_REMAT_CLASS_GNN=1 BENCH_IMAGE_BF16=1 SCHEMANET_GRAPHCONV_BACKEND=pallas python bench.py ;;
+    # E3: with the fused GraphConv default ([E] win), the class-GNN's largest
+    # residuals (E_sym, t) never materialise — maybe the class-GNN remat no
+    # longer pays its ~13 ms recompute
+    E3) run_step E3 '"metric"' 3 env BENCH_SCALE=imagenet BENCH_REMAT_CLASS_GNN=0 python bench.py ;;
     *) echo "unknown step $s" ;;
   esac
 done
