@@ -44,11 +44,14 @@ def main():
     # amortise it — measured 10,357 img/s at bs=512 vs 11,276 at bs=1024 with
     # the fused frozen-forward kernels (round 2)
     # the class-GNN + atlas optimizer work is batch-independent and dominates
-    # at ImageNet scale (73% of the bs=256 step), so the operating point is
-    # the largest batch that fits: bs=1024 + remat_class_gnn (no global remat)
-    # = 3,173 img/s at 322.7 ms (r04 [J]); bs=2048 needs full remat and is
-    # slower per image (2,664, [I2]). See PERFORMANCE.md.
-    batch_size = int(os.environ.get("BENCH_BATCH", 1024))
+    # at ImageNet scale (61% of the step, [F2]), so the operating point is
+    # the largest batch that fits WITHOUT global remat: bs=1536 +
+    # remat_class_gnn + fused GraphConv = 3,895 img/s (r04 [E2]; bs=1024 =
+    # 3,255 [B/E]); bs=2048 needs full remat and is slower per image
+    # (2,664, [I2]). See PERFORMANCE.md.
+    batch_size = int(
+        os.environ.get("BENCH_BATCH", 1536 if scale == "imagenet" else 1024)
+    )
     num_classes = 1000 if scale == "imagenet" else 100
     num_codes = 8000 if scale == "imagenet" else 1024
     steps = int(os.environ.get("BENCH_STEPS", 50))
