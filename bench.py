@@ -76,14 +76,14 @@ def main():
             "embed_dim": 1024 if scale == "imagenet" else 256,
             "num_layers": 2,
             "activation": "relu",
-            # remat_class_gnn (default ON at ImageNet scale, mirrors the
-            # shipped YAMLs): recompute the class-GNN in backward — it is
-            # batch-independent and its ~5 GB of saved residuals are what
-            # forced global remat / OOMed bs=2048 (17.5/15.75 G HBM).
-            # Measured 322.7 ms/step vs 362.7 with remat=dots (r04 [J] vs [B]).
-            "remat_class_gnn": os.environ.get(
-                "BENCH_REMAT_CLASS_GNN", "1" if scale == "imagenet" else "0"
-            ) == "1",
+            # remat_class_gnn: recompute the class-GNN in backward. Was the
+            # ImageNet default while the XLA symconv materialised E_sym
+            # (~5 GB of residuals, r04 [J] 322.7 vs [B] 362.7 with
+            # remat=dots); with the fused GraphConv default those residuals
+            # never exist, and dropping the remat wins again: [E3] 4,279
+            # img/s at bs=1536 vs [E2] 3,895 with the remat. Default OFF.
+            "remat_class_gnn": os.environ.get("BENCH_REMAT_CLASS_GNN", "0")
+            == "1",
         },
         # BENCH_QUANT_BACKBONE=1: W8A8 int8 frozen-backbone forward inside
         # the train step (ops/quant.py) — safe gradient-wise (the backbone

@@ -74,6 +74,7 @@ def vq_encode(
     quantize: bool = True,
     detach_input: bool = True,
     compute_dtype=None,
+    backend: str = "auto",
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """(quantised-or-original features, code ids) — Discretization.encode.
 
@@ -83,7 +84,7 @@ def vq_encode(
     """
     if detach_input:
         x = jax.lax.stop_gradient(x)
-    ids = vq_assign(x, codebook, compute_dtype=compute_dtype)
+    ids = vq_assign(x, codebook, compute_dtype=compute_dtype, backend=backend)
     if quantize:
         out = jnp.take(codebook, ids, axis=0).astype(x.dtype)
     else:

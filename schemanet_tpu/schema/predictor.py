@@ -94,7 +94,11 @@ class IngredientBackbone(nn.Module):
         patches = mid_feat[:, n_prefix:]
         do_quantize = self.quantize if quantize is None else quantize
         q_patches, ingredients = vq_encode(
-            patches, self.vocabulary, quantize=do_quantize, detach_input=self.detach_input_seq
+            patches, self.vocabulary, quantize=do_quantize,
+            detach_input=self.detach_input_seq,
+            # init may trace on a host device where Mosaic can't compile —
+            # same gate as GraphConv's (campaign [VQ1] failure mode)
+            backend="xla" if self.is_initializing() else "auto",
         )
         feat = jnp.concatenate([mid_feat[:, :n_prefix], q_patches], axis=1)
 

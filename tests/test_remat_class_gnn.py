@@ -148,10 +148,12 @@ def test_all_round3_knobs_compose(rng, monkeypatch):
         )
 
 
-def test_shipped_imagenet_configs_default_to_class_gnn_remat():
-    """The round-4 default flip (campaign r04 [J] vs [B], 322.7 vs 362.7
-    ms/step): ImageNet-scale configs ship `gnn.remat_class_gnn: true` and NO
-    global remat, and the values flow YAML -> build_predictor / TrainerConfig."""
+def test_shipped_imagenet_configs_default_to_no_remat():
+    """The round-4 tail default (campaign r04 [E3] 4,279 img/s vs [E2] 3,895
+    with class-GNN remat): with the fused GraphConv default the class-GNN's
+    E_sym residuals never materialise, so ImageNet-scale configs ship NO
+    remat anywhere (`gnn.remat_class_gnn: false`, `remat: false`), and the
+    values flow YAML -> build_predictor / TrainerConfig."""
     from schemanet_tpu.utils.config import get_cfg
     from schemanet_tpu.schema.predictor import build_predictor
     from schemanet_tpu.train.trainer import TrainerConfig
@@ -161,7 +163,7 @@ def test_shipped_imagenet_configs_default_to_class_gnn_remat():
         "configs/imagenet/schema_net/deit_base-l9-M_8000.yaml",
     ):
         cfg = get_cfg(p)
-        assert cfg["schema_net"]["gnn"]["remat_class_gnn"] is True, p
+        assert cfg["schema_net"]["gnn"]["remat_class_gnn"] is False, p
         tc = TrainerConfig.from_cfg(cfg["training"])
         assert tc.remat is False, p
 
@@ -183,4 +185,4 @@ def test_shipped_imagenet_configs_default_to_class_gnn_remat():
         model_cfg, schema_cfg, num_classes=10, num_codes=64,
         code_dim=embed_dim, encode_layer=1,
     )
-    assert predictor.cfg.remat_class_gnn is True
+    assert predictor.cfg.remat_class_gnn is False
