@@ -155,6 +155,13 @@ def main():
     # update", which sees the gradient at the identical projected point once
     # the params are projected up-front (parity: tests/test_atlas_opt.py)
     use_fused_opt = os.environ.get("BENCH_ATLAS_OPT") == "fused"
+    # BENCH_PROJECT_TIMING=post: run the atlas projection right after the
+    # optimizer update (same jit program) instead of at the next step's start.
+    # The alternating sequence proj->update->proj->update is IDENTICAL (the
+    # projection is idempotent and params start projected) but XLA can fuse
+    # the projection's read into the AdamW update's write, saving one full
+    # cross-step read+write sweep of the [K, V, V] atlas params.
+    project_post = os.environ.get("BENCH_PROJECT_TIMING", "pre") == "post"
     HOT = ("vertex_weights", "edge_weights")
 
     def split_hot(tp):
@@ -183,6 +190,12 @@ def main():
             jax.tree.map(jnp.zeros_like, hot0),
         )
     else:
+        if project_post:
+            # start projected: the per-step projection then keeps the invariant
+            train_params = dict(
+                train_params,
+                schema_net=project_atlas_params(train_params["schema_net"], atlas_cfg),
+            )
         opt_state = tx.init(train_params)
 
     # donate params+opt_state: lets XLA update the 105M-param atlas + Adam
@@ -197,7 +210,7 @@ def main():
                 for key in ("vertex_attribute_weights", "edge_attribute_weights"):
                     sn[key] = jnp.clip(sn[key], 0.01, 10.0)
             train_params = dict(train_params, schema_net=sn)
-        else:
+        elif not project_post:
             train_params = dict(
                 train_params,
                 schema_net=project_atlas_params(train_params["schema_net"], atlas_cfg),
@@ -240,7 +253,13 @@ def main():
             )
             return params2, (inner2, count + 1, new_m, new_v), loss
         updates, opt_state2 = tx.update(grads, opt_state, train_params)
-        return optax.apply_updates(train_params, updates), opt_state2, loss
+        new_params = optax.apply_updates(train_params, updates)
+        if project_post:
+            new_params = dict(
+                new_params,
+                schema_net=project_atlas_params(new_params["schema_net"], atlas_cfg),
+            )
+        return new_params, opt_state2, loss
 
     params = train_params
 

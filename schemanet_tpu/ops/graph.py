@@ -40,6 +40,33 @@ def _zero_nans(x: jnp.ndarray) -> jnp.ndarray:
     return jnp.where(jnp.isnan(x), jnp.zeros_like(x), x)
 
 
+def graph_dtype(precision: str) -> jnp.dtype:
+    """Storage dtype of graph tensors per precision mode.
+
+    'highest' (parity/init) keeps every tensor fp32; 'default' (training,
+    gated by the on-chip accuracy A/B — PERFORMANCE.md #3) emits bf16: the
+    [bs, L, L] instance edges, one-hot projections, and softmaxed attention
+    are pure HBM traffic on TPU, and bf16 halves every sweep while the MXU
+    still accumulates contractions in fp32. Reductions (row sums) stay
+    fp32-accumulated (ops/normalize.py)."""
+    return jnp.bfloat16 if precision == "default" else jnp.float32
+
+
+def _f32_accum_einsum(subscripts: str, *operands: jnp.ndarray, precision) -> jnp.ndarray:
+    """einsum accumulating in fp32 over graph-dtype operands.
+
+    TPU executes bf16 operands with ``preferred_element_type=f32`` natively
+    (that IS the MXU accumulator); the CPU backend's DotThunk cannot
+    (``BF16 x BF16 = F32`` unsupported), so operands re-widen there — the
+    bf16 rounding has already happened, numerics are unchanged."""
+    if operands[0].dtype != jnp.float32 and jax.default_backend() == "cpu":
+        operands = tuple(o.astype(jnp.float32) for o in operands)
+    return jnp.einsum(
+        subscripts, *operands, precision=precision,
+        preferred_element_type=jnp.float32,
+    )
+
+
 def clamp_softmax(attn: jnp.ndarray, clamp: Optional[float], axis: int = -1) -> jnp.ndarray:
     """Optional threshold-to--inf then softmax (schema_net.py:200-202,237-239).
 
@@ -196,22 +223,24 @@ def instance_vertices(
     (the one-hot operand is exact in bf16; only attn rounds).
     """
     bs, L = slots.pos_to_slot.shape
-    attn_cls = clamp_softmax(attn_cls, clamp_vertex_attn)
+    dt = graph_dtype(precision)
+    attn_cls = clamp_softmax(attn_cls.astype(jnp.float32), clamp_vertex_attn)
     attn_cls = _zero_nans(attn_cls)  # schema_net.py:297 .nan_to_num(0)
-    # one-hot contraction instead of scatter-add (see vertex_attributes_full)
-    proj = jax.nn.one_hot(slots.pos_to_slot, L, dtype=jnp.float32)  # [bs, L, S]
-    count = jnp.sum(proj, axis=1)
+    # one-hot contraction instead of scatter-add (see vertex_attributes_full);
+    # materialised in the graph dtype (0/1 exact in bf16, fp32 MXU accumulate)
+    proj = jax.nn.one_hot(slots.pos_to_slot, L, dtype=dt)  # [bs, L, S]
+    count = jnp.sum(proj, axis=1, dtype=jnp.float32)
     prec = (
         jax.lax.Precision.HIGHEST if precision == "highest" else jax.lax.Precision.DEFAULT
     )
-    attn_sum = jnp.einsum(
-        "bls,bl->bs", proj, attn_cls.astype(jnp.float32), precision=prec,
+    attn_sum = _f32_accum_einsum(
+        "bls,bl->bs", proj, attn_cls.astype(dt), precision=prec,
     )
     attn_val = attn_sum / jnp.maximum(count, 1.0) if mean else attn_sum
     attrs = jnp.stack([count, attn_val], axis=-1)  # [bs, L, 2]
     attrs = normalize_max(attrs, axis=1)
     w = jnp.einsum("bsa,ao->bs", attrs, vertex_attribute_weights.astype(attrs.dtype))
-    return jnp.where(slots.mask, w, 0.0)
+    return jnp.where(slots.mask, w, 0.0).astype(dt)
 
 
 def _pair_mean_edges(
@@ -232,20 +261,27 @@ def _pair_mean_edges(
     accumulates in fp32, so only attn/geo round to bf16 (~3 significant
     digits), which is ample for training and ~4x faster.
     """
-    pf = proj.astype(jnp.float32)
+    dt = graph_dtype(precision)
+    pf = proj.astype(dt)
     prec = (
         jax.lax.Precision.HIGHEST if precision == "highest" else jax.lax.Precision.DEFAULT
     )
-    attn_e = jnp.einsum("bls,blm,bmt->bst", pf, attn.astype(jnp.float32), pf, precision=prec)
-    geo_e = jnp.einsum("bls,lm,bmt->bst", pf, geo_sim.astype(jnp.float32), pf, precision=prec)
+    # operands in the graph dtype (halves the [bs, L, L] HBM reads in bf16
+    # mode); MXU accumulation is fp32 either way, outputs land in dt
+    attn_e = _f32_accum_einsum(
+        "bls,blm,bmt->bst", pf, attn.astype(dt), pf, precision=prec,
+    )
+    geo_e = _f32_accum_einsum(
+        "bls,lm,bmt->bst", pf, geo_sim.astype(dt), pf, precision=prec,
+    )
     if mean:
-        counts = pf.sum(axis=1)  # [bs, S]
+        counts = jnp.sum(pf, axis=1, dtype=jnp.float32)  # [bs, S]
         pairs = counts[:, :, None] * counts[:, None, :]
         denom = jnp.maximum(pairs, 1.0)
         live = pairs > 0
         attn_e = jnp.where(live, attn_e / denom, 0.0)
         geo_e = jnp.where(live, geo_e / denom, 0.0)
-    return jnp.stack([geo_e, attn_e], axis=-1)
+    return jnp.stack([geo_e, attn_e], axis=-1).astype(dt)
 
 
 def instance_edges(
@@ -264,9 +300,10 @@ def instance_edges(
     diagonal, then blended by W_e. Padding rows/cols are exactly zero.
     """
     bs, L = slots.pos_to_slot.shape
-    attn = clamp_softmax(attn, clamp_edge_attn)
+    dt = graph_dtype(precision)
+    attn = clamp_softmax(attn.astype(jnp.float32), clamp_edge_attn)
     attn = _zero_nans(attn)
-    proj = jax.nn.one_hot(slots.pos_to_slot, L, dtype=jnp.float32)  # [bs, L, S=L]
+    proj = jax.nn.one_hot(slots.pos_to_slot, L, dtype=dt)  # [bs, L, S=L]
     edges = _pair_mean_edges(proj, attn, geo_sim, mean, precision)  # [bs, L, L, 2]
     edges = normalize_sum(edges, axis=2)
     if remove_self_loop:
@@ -274,7 +311,7 @@ def instance_edges(
         edges = jnp.where(eye, 0.0, edges)
     out = jnp.einsum("bsta,ao->bst", edges, edge_attribute_weights.astype(edges.dtype))
     live = slots.mask[:, :, None] & slots.mask[:, None, :]
-    return jnp.where(live, out, 0.0)
+    return jnp.where(live, out, 0.0).astype(dt)
 
 
 # ---------------------------------------------------------------------------
@@ -301,10 +338,11 @@ def class_limited_edges(
     label's class-ingredient row.
     """
     bs, L = ingredients.shape
-    attn = clamp_softmax(attn, clamp_edge_attn)
+    dt = graph_dtype(precision)
+    attn = clamp_softmax(attn.astype(jnp.float32), clamp_edge_attn)
     my_class_codes = class_ingredients[labels]  # [bs, V_max]
     # position l maps to slot s iff its code equals the class's s-th ingredient
-    proj = (ingredients[:, :, None] == my_class_codes[:, None, :]).astype(jnp.float32)
+    proj = (ingredients[:, :, None] == my_class_codes[:, None, :]).astype(dt)
     edges = _pair_mean_edges(proj, attn, geo_sim, mean, precision)  # [bs, Vmax, Vmax, 2]
     # feat_to_limited_edges: normalize_sum_ dim=2, zero diag, blend (schema_net.py:249-254)
     edges = normalize_sum(edges, axis=2)
@@ -312,4 +350,6 @@ def class_limited_edges(
         v = edges.shape[1]
         eye = jnp.eye(v, dtype=bool)[None, :, :, None]
         edges = jnp.where(eye, 0.0, edges)
-    return jnp.einsum("bsta,ao->bst", edges, edge_attribute_weights.astype(edges.dtype))
+    return jnp.einsum(
+        "bsta,ao->bst", edges, edge_attribute_weights.astype(edges.dtype)
+    ).astype(dt)

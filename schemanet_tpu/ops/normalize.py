@@ -25,8 +25,13 @@ def _zero_nans(x: jnp.ndarray) -> jnp.ndarray:
 def normalize_sum(
     x: jnp.ndarray, axis: int = -1, detach_sum: bool = False
 ) -> jnp.ndarray:
-    """x / x.sum(axis), NaN -> 0. (graph/utils.py:25-34)"""
-    s = jnp.sum(x, axis=axis, keepdims=True)
+    """x / x.sum(axis), NaN -> 0. (graph/utils.py:25-34)
+
+    The row sum always accumulates in fp32 (identical numerics for fp32
+    inputs; for bf16 graph tensors — graph_precision='default' — it avoids
+    compounding the reduction error on top of the storage rounding).
+    """
+    s = jnp.sum(x, axis=axis, keepdims=True, dtype=jnp.float32).astype(x.dtype)
     if detach_sum:
         s = jax.lax.stop_gradient(s)
     return _zero_nans(x / s)

@@ -130,12 +130,23 @@ class SchemaAtlas(nn.Module):
 
     # -- atlas getters (differentiable renormalisation) ---------------------
 
+    def _out_dtype(self) -> jnp.dtype:
+        """Atlas getter storage dtype: fp32 params are renormalised in fp32
+        and *emitted* in the graph dtype (bf16 under graph_precision=
+        'default'), so every downstream sweep of the [K, V, V] class edges —
+        GNN convs, entropy regulariser, eye/where masks — moves half the
+        bytes and the fp32->bf16 convert copies disappear (profiled at ~1.6%
+        each at ImageNet scale). Parity/init ('highest') stays pure fp32."""
+        return graph_ops.graph_dtype(self.cfg.graph_precision)
+
     def get_class_vertices(self, detach: bool = False) -> jnp.ndarray:
         w = self.vertex_weights
         if detach:
             w = jax.lax.stop_gradient(w)
         # normalize_sum_clamp(min=1e-5, detach_sum=True) (schema_net.py:144-150)
-        return normalize_sum_clamp(w, axis=-1, detach_sum=True, min_val=1e-5)
+        return normalize_sum_clamp(w, axis=-1, detach_sum=True, min_val=1e-5).astype(
+            self._out_dtype()
+        )
 
     def get_class_edges(self, detach: bool = False) -> jnp.ndarray:
         c = self.cfg
@@ -150,6 +161,7 @@ class SchemaAtlas(nn.Module):
             mask = keep[:, :, None] * keep[:, None, :]
             e = e * jax.lax.stop_gradient(mask)
         e = normalize_sum_clamp(e, axis=-1, detach_sum=True, min_val=0.0)
+        e = e.astype(self._out_dtype())  # fuses into the normalise divide
         if c.remove_self_loop:
             eye = jnp.eye(e.shape[-1], dtype=bool)[None]
             e = jnp.where(eye, 0.0, e)

@@ -63,8 +63,12 @@ def make_schema_inference_loss(
         if isinstance(pred, dict):
             pred = pred["pred"]
         ret: Dict[str, jnp.ndarray] = {"cls": cross_entropy(pred, target["label"])}
-        vertex_weights = output["class_vertices"]  # [K, V]
-        edge_weights = output["class_edges"]  # [K, V, V]
+        # the atlas getters may emit bf16 (graph_precision='default',
+        # schema/atlas.py _out_dtype); the entropy's log/multiply chain runs
+        # fp32 regardless — the upcast fuses into the elementwise chain, so
+        # the [K, V, V] read stays at the storage width
+        vertex_weights = output["class_vertices"].astype(jnp.float32)  # [K, V]
+        edge_weights = output["class_edges"].astype(jnp.float32)  # [K, V, V]
         entropy_vertex = entropy(vertex_weights).max(axis=0)
         entropy_edge = entropy(edge_weights).max(axis=1).mean()
         ret["entropy_vertex"] = entropy_vertex

@@ -68,6 +68,13 @@ class IngredientBackbone(nn.Module):
             (self.num_codes, self.code_dim),
         )
 
+    # attention handoff dtype: the [bs, L, L] head-mean raw attention is pure
+    # HBM traffic between the frozen forward and the graph build — bf16 halves
+    # it when the graph path runs at training precision (set by the owning
+    # SchemaNetPredictor from its atlas graph_precision; fp32 default keeps
+    # golden parity for standalone use)
+    attn_dtype: Any = jnp.float32
+
     def __call__(self, img: jnp.ndarray, quantize: Optional[bool] = None) -> Dict[str, jnp.ndarray]:
         extract = self.extract_layer if self.extract_layer is not None else self.encode_layer
         capture = (f"layers_{extract}.attn_raw",)
@@ -102,8 +109,12 @@ class IngredientBackbone(nn.Module):
         )
         feat = jnp.concatenate([mid_feat[:, :n_prefix], q_patches], axis=1)
 
-        # head-mean raw attention, CLS row / patch block split
-        attn_mean = jnp.mean(attn_raw.astype(jnp.float32), axis=1)  # [bs, n, n]
+        # head-mean raw attention, CLS row / patch block split; the mean is
+        # computed in fp32 and emitted in attn_dtype (the cast fuses into the
+        # reduce — no extra pass)
+        attn_mean = jnp.mean(attn_raw.astype(jnp.float32), axis=1).astype(
+            self.attn_dtype
+        )  # [bs, n, n]
         return {
             "cls_token": feat[:, :n_prefix],
             "feat": q_patches,
@@ -169,6 +180,8 @@ class SchemaNetPredictor(nn.Module):
     dtype: Any = jnp.float32
 
     def setup(self):
+        from ..ops.graph import graph_dtype
+
         self.ingredient_backbone = IngredientBackbone(
             backbone=self.backbone,
             num_codes=self.num_codes,
@@ -176,6 +189,7 @@ class SchemaNetPredictor(nn.Module):
             encode_layer=self.encode_layer,
             uniform_range=self.uniform_range,
             quant_backbone=self.cfg.quant_backbone,
+            attn_dtype=graph_dtype(self.cfg.atlas.graph_precision),
             name="ingredient_backbone",
         )
         self.schema_net = SchemaAtlas(self.cfg.atlas, name="schema_net")

@@ -61,6 +61,17 @@ class TrainerConfig:
     # retain only the newest N iter-* checkpoints (best is never pruned);
     # None/0 keeps all — the reference kept every iter-N.pth forever
     max_keep: Optional[int] = 3
+    # when the atlas projection runs relative to the optimizer update:
+    # 'pre'  — at the step's start, like the reference's normalize() before
+    #          every train_iter (worker_schema_net.py:127);
+    # 'post' — immediately after the update in the SAME jit program. The
+    #          alternating sequence project->update->project->update is
+    #          identical (the projection is idempotent and params start
+    #          projected — pinned by tests/test_project_timing.py), but XLA
+    #          fuses the projection into the update's epilogue instead of
+    #          paying a separate cross-step read+write sweep of the
+    #          [K, V, V] atlas, and per-eval-batch re-projection drops out.
+    project_timing: str = "pre"
 
     @classmethod
     def from_cfg(cls, train_cfg: Dict[str, Any], **over):
@@ -167,6 +178,15 @@ class Trainer:
         # the jitted steps (no per-call dispatch, no optimizer state)
         train_params, frozen_params = split_by_labels(params, self.param_labels)
         self.frozen_params = shard_params(self.mesh, frozen_params)
+        assert cfg.project_timing in ("pre", "post"), cfg.project_timing
+        if (
+            cfg.project_timing == "post"
+            and self.project_params is not None
+            and self._fused_atlas is None
+        ):
+            # establish the projected invariant once; the post-update
+            # projection inside each step maintains it from here on
+            train_params = self.project_params(train_params)
         if self._fused_atlas is not None:
             # project once up front: from here on the hot tensors are kept
             # projected by the fused update itself (the per-step hook is only
@@ -284,7 +304,7 @@ class Trainer:
 
     def _train_step_impl(self, state: TrainState, batch):
         params = state.params
-        if self.project_params is not None:
+        if self.project_params is not None and self.cfg.project_timing == "pre":
             params = self.project_params(params)
         rng, step_rng = jax.random.split(state.rng)
 
@@ -314,6 +334,8 @@ class Trainer:
         else:
             updates, opt_state = self.tx.update(grads, state.opt_state, params)
             params = optax.apply_updates(params, updates)
+            if self.project_params is not None and self.cfg.project_timing == "post":
+                params = self.project_params(params)
         new_state = state.replace(
             step=state.step + 1,
             params=params,
@@ -326,7 +348,9 @@ class Trainer:
 
     def _eval_step_impl(self, state: TrainState, batch):
         params = state.params
-        if self.project_params is not None:
+        if self.project_params is not None and self.cfg.project_timing == "pre":
+            # 'post' keeps state.params projected invariantly — re-projecting
+            # per eval batch would be an idempotent no-op sweep
             params = self.project_params(params)
         params = merge_trees(self.frozen_params, params)
         out = self.apply_fn(
@@ -477,6 +501,14 @@ class Trainer:
         train_params, frozen_params = split_by_labels(
             restored["params"], self.param_labels
         )
+        if (
+            self.cfg.project_timing == "post"
+            and self.project_params is not None
+            and self._fused_atlas is None
+        ):
+            # checkpoints written by validate_and_save hold projected weights
+            # already; re-establish the invariant for foreign checkpoints
+            train_params = self.project_params(train_params)
         self.frozen_params = shard_params(self.mesh, frozen_params)
         self.state = self.state.replace(
             params=shard_params(self.mesh, train_params),
