@@ -20,10 +20,14 @@ ln          xla      [X2] 87.5 ms vs 97.6 pallas — the round-3 regression:
                      the fwd-only backbone LN loses to XLA's fused epilogue
 mlp         pallas   [X3] xla 105.5 ms vs 97.6 — VMEM-resident hidden wins
 gnn_ln      xla      round-3 A/B: CIFAR 101.8->97.7, ImageNet 486->404 ms
-graphconv   xla      [E] pallas kernel pending re-measure; xla is the
-                     measured-good `_sym_conv` batched-dot path
+graphconv   pallas   r04 [E]: fused sym-conv kernel 322.7 -> 314.7 ms at
+                     ImageNet; neutral at CIFAR [E1] (shape gate keeps small
+                     graphs on the XLA batched dot)
 vq          xla      streaming-argmin kernel worthwhile only for very large
                      vocabularies; opt-in
+atlas_opt   xla      r04 [OPT1]/[OPT2]: fused AdamW+projection kernel LOST
+                     (CIFAR 75.6 vs 74.4, ImageNet 372.8 vs 322.7 ms); the
+                     kernel stays available for future hardware
 symconv     single   [AB10] two 99.8 vs 97.6 single; with ln=xla [X5] 89.7
                      vs [X2] 87.5 — E_sym materialisation wins at both
 static_embed_bwd blocked  [AB2] sorted_scatter 97.4 ~= blocked 97.6 at CIFAR;
@@ -73,7 +77,8 @@ _AUTO_TPU = {
     "static_embed_bwd": "blocked",
     "prng_impl": "threefry",
     # fused AdamW+projection for the atlas tensors (ops/pallas/atlas_opt.py):
-    # pending the r04 campaign OPT1/OPT2 A/B — flip to "fused" if it wins
+    # measured and LOST on this chip (r04 [OPT1]/[OPT2] — CIFAR 75.6 vs 74.4,
+    # ImageNet 372.8 vs 322.7 ms; PERFORMANCE.md #19); stays opt-in
     "atlas_opt": "xla",
 }
 _AUTO_CPU = dict(
