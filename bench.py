@@ -147,7 +147,34 @@ def main():
     # signature removes ~120 leaves of per-call dispatch overhead
     train_params = {k: params[k] for k in ("schema_net", "matcher")}
     frozen_params = {k: params[k] for k in ("backbone", "ingredient_backbone")}
+    HOT = ("vertex_weights", "edge_weights")
     tx = optax.adamw(1e-3)
+    # BENCH_ATLAS_MOMENTS=bf16|factored: low-memory Adam moments for the big
+    # atlas tensors only (train/common.py adamw_lowmem). "bf16" stores both
+    # moments in bf16 (the EMA math stays fp32); "factored" additionally
+    # replaces the edge tensors' full second moment with Adafactor-style
+    # row/col stats — at ImageNet scale that turns 2 GB of fp32 edge-Adam
+    # state (~4 GB/step of pure HBM sweep) into 4 MB. Ignored under the
+    # fused-opt path (which owns its own moment buffers).
+    atlas_moments = os.environ.get("BENCH_ATLAS_MOMENTS", "fp32")
+    if atlas_moments != "fp32" and os.environ.get("BENCH_ATLAS_OPT") != "fused":
+        from schemanet_tpu.train.common import adamw_lowmem
+
+        atlas_tx = adamw_lowmem(
+            1e-3,
+            mu_dtype=jnp.bfloat16,
+            nu_dtype=jnp.bfloat16,
+            factored_min_size=256 if atlas_moments == "factored" else None,
+        )
+
+        def _label(path, _):
+            keys = [str(getattr(k, "key", k)) for k in path]
+            return "atlas" if keys[0] == "schema_net" and keys[-1] in HOT else "default"
+
+        labels = jax.tree_util.tree_map_with_path(_label, train_params)
+        tx = optax.multi_transform(
+            {"default": optax.adamw(1e-3), "atlas": atlas_tx}, labels
+        )
 
     # BENCH_ATLAS_OPT=fused: one Pallas pass does AdamW + the atlas projection
     # for the big vertex/edge tensors (ops/pallas/atlas_opt.py) — the
@@ -162,7 +189,6 @@ def main():
     # the projection's read into the AdamW update's write, saving one full
     # cross-step read+write sweep of the [K, V, V] atlas params.
     project_post = os.environ.get("BENCH_PROJECT_TIMING", "pre") == "post"
-    HOT = ("vertex_weights", "edge_weights")
 
     def split_hot(tp):
         sn = tp["schema_net"]

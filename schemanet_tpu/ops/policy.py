@@ -80,6 +80,13 @@ _AUTO_TPU = {
     # measured and LOST on this chip (r04 [OPT1]/[OPT2] — CIFAR 75.6 vs 74.4,
     # ImageNet 372.8 vs 322.7 ms; PERFORMANCE.md #19); stays opt-in
     "atlas_opt": "xla",
+    # pair-packed head_dim-64 attention inside the fused encoder half
+    # (ops/pallas/encoder_block.py): packs 2 heads into one 128-deep MXU
+    # score matmul + one block-diagonal AV matmul. Same theoretical MXU
+    # cycles as the padded per-head path — the candidate win is halving the
+    # serial per-head op chain (VERDICT r4 #6). Default off pending the r05
+    # chip A/B; flip only on a measured win.
+    "attn_pack": "off",
 }
 _AUTO_CPU = dict(
     _AUTO_TPU, attn="xla", mlp="xla", block="xla", graphconv="xla"
@@ -97,6 +104,7 @@ _ENV = {
     "static_embed_bwd": "SCHEMANET_STATIC_EMBED_BWD",
     "prng_impl": "SCHEMANET_PRNG_IMPL",
     "atlas_opt": "SCHEMANET_ATLAS_OPT",
+    "attn_pack": "SCHEMANET_ATTN_PACK",
 }
 
 _CHOICES = {
@@ -111,6 +119,7 @@ _CHOICES = {
     "static_embed_bwd": ("auto", "blocked", "sorted_scatter"),
     "prng_impl": ("auto", "threefry", "rbg"),
     "atlas_opt": ("auto", "fused", "interpret", "xla"),
+    "attn_pack": ("auto", "pair", "off"),
 }
 
 
@@ -127,6 +136,7 @@ class KernelPolicy:
     static_embed_bwd: str = "auto"
     prng_impl: str = "auto"
     atlas_opt: str = "auto"
+    attn_pack: str = "auto"
 
 
 _policy = KernelPolicy()

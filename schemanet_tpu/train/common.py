@@ -141,6 +141,136 @@ def _scheduled_decay(wd: float, sched: Callable) -> optax.GradientTransformation
     return optax.GradientTransformation(init_fn, update_fn)
 
 
+def scale_by_adam_lowmem(
+    b1: float = 0.9,
+    b2: float = 0.999,
+    eps: float = 1e-8,
+    *,
+    mu_dtype=None,
+    nu_dtype=None,
+    factored_min_size: Optional[int] = None,
+) -> optax.GradientTransformation:
+    """Adam scaling with reduced-memory moment storage.
+
+    The ImageNet-scale atlas edge tensor ([K=1000, V=500, V=500] fp32) makes
+    plain AdamW sweep ~7 GB of optimizer state + gradient HBM per step
+    (profiled at ~5% of the r04 step, PERFORMANCE.md). Two orthogonal levers,
+    both exact-Adam when disabled:
+
+    * ``mu_dtype`` / ``nu_dtype``: store the first/second moment in a narrow
+      dtype (bf16 halves state and traffic; the EMA update itself still runs
+      in fp32 so only the *storage* rounds).
+    * ``factored_min_size``: for leaves with ndim>=2 whose two trailing dims
+      are both >= the threshold, replace the full second moment with
+      Adafactor-style row/col statistics (Shazeer & Stern 2018): per leading
+      index, ``r = ema(sum_j g^2)``, ``c = ema(sum_i g^2)`` and
+      ``nu_hat_ij = r_i c_j / sum(r)`` — the state drops from O(n*m) to
+      O(n+m). First moment, bias correction and the eps placement stay
+      Adam's, so this is "Adam with a factored nu", not full Adafactor (no
+      update clipping / relative step sizes), keeping the A/B vs AdamW clean.
+
+    State nests each nu leaf as ``{"full": ...}`` or ``{"row","col"}`` so a
+    checkpoint records which layout it was trained with.
+    """
+    mu_dtype = jnp.dtype(mu_dtype) if mu_dtype else None
+    nu_dtype = jnp.dtype(nu_dtype) if nu_dtype else None
+
+    def _factor(p) -> bool:
+        return (
+            factored_min_size is not None
+            and p.ndim >= 2
+            and min(p.shape[-2:]) >= factored_min_size
+        )
+
+    def init_fn(params):
+        mu = jax.tree.map(
+            lambda p: jnp.zeros_like(p, dtype=mu_dtype or p.dtype), params
+        )
+
+        def nu_init(p):
+            if _factor(p):
+                return {
+                    "row": jnp.zeros(p.shape[:-1], jnp.float32),
+                    "col": jnp.zeros(p.shape[:-2] + p.shape[-1:], jnp.float32),
+                }
+            return {"full": jnp.zeros_like(p, dtype=nu_dtype or p.dtype)}
+
+        nu = jax.tree.map(nu_init, params)
+        return optax.ScaleByAdamState(
+            count=jnp.zeros([], jnp.int32), mu=mu, nu=nu
+        )
+
+    def update_fn(updates, state, params=None):
+        del params
+        count = optax.safe_int32_increment(state.count)
+        bc1 = 1.0 - b1**count.astype(jnp.float32)
+        bc2 = 1.0 - b2**count.astype(jnp.float32)
+
+        g_flat, tdef = jax.tree.flatten(updates)
+        mu_flat = tdef.flatten_up_to(state.mu)
+        nu_flat = tdef.flatten_up_to(state.nu)
+        new_mu, new_nu, out = [], [], []
+        for g, m, nu in zip(g_flat, mu_flat, nu_flat):
+            g32 = g.astype(jnp.float32)
+            m32 = b1 * m.astype(jnp.float32) + (1.0 - b1) * g32
+            new_mu.append(m32.astype(mu_dtype) if mu_dtype else m32.astype(m.dtype))
+            g2 = jnp.square(g32)
+            if "full" in nu:
+                n32 = b2 * nu["full"].astype(jnp.float32) + (1.0 - b2) * g2
+                new_nu.append(
+                    {"full": n32.astype(nu_dtype) if nu_dtype else n32.astype(nu["full"].dtype)}
+                )
+                nu_hat = n32 / bc2
+            else:
+                r = b2 * nu["row"] + (1.0 - b2) * g2.sum(-1)
+                c = b2 * nu["col"] + (1.0 - b2) * g2.sum(-2)
+                new_nu.append({"row": r, "col": c})
+                # nu_hat = r c^T / sum(r): exact when g^2 is rank-1 per
+                # leading index; bias corrections cancel to a single 1/bc2
+                denom = jnp.maximum(r.sum(-1)[..., None, None], 1e-30)
+                nu_hat = (r[..., :, None] * c[..., None, :]) / denom / bc2
+            u = (m32 / bc1) / (jnp.sqrt(nu_hat) + eps)
+            out.append(u.astype(g.dtype))
+        return (
+            jax.tree.unflatten(tdef, out),
+            optax.ScaleByAdamState(
+                count=count,
+                mu=jax.tree.unflatten(tdef, new_mu),
+                nu=jax.tree.unflatten(tdef, new_nu),
+            ),
+        )
+
+    return optax.GradientTransformation(init_fn, update_fn)
+
+
+def adamw_lowmem(
+    learning_rate,
+    b1: float = 0.9,
+    b2: float = 0.999,
+    eps: float = 1e-8,
+    weight_decay: float = 0.0,
+    *,
+    mu_dtype=None,
+    nu_dtype=None,
+    factored_min_size: Optional[int] = None,
+) -> optax.GradientTransformation:
+    """optax.adamw with ``scale_by_adam_lowmem`` as the inner scaling — with
+    all lowmem knobs off the update sequence is identical to optax.adamw."""
+    parts = [
+        scale_by_adam_lowmem(
+            b1, b2, eps,
+            mu_dtype=mu_dtype, nu_dtype=nu_dtype,
+            factored_min_size=factored_min_size,
+        )
+    ]
+    if weight_decay:
+        parts.append(optax.add_decayed_weights(weight_decay))
+    parts.append(
+        optax.scale_by_learning_rate(learning_rate)
+    )
+    return optax.chain(*parts)
+
+
 def make_optimizer(
     params: Any,
     optimizer_cfg: Dict[str, Any],
@@ -164,10 +294,29 @@ def make_optimizer(
     moment_dtype = optimizer_cfg.get("moment_dtype")
     factored = bool(optimizer_cfg.get("factored", False))
 
-    def make_one(lr_scale: float, wd: float) -> optax.GradientTransformation:
+    def make_one(
+        lr_scale: float, wd: float, group_cfg: Optional[Dict[str, Any]] = None
+    ) -> optax.GradientTransformation:
         def scaled(step):
             return schedule(step) * lr_scale
 
+        # per-group low-memory moment overrides (VERDICT r4 #3): a param
+        # group regex can target just the atlas edge tensors with
+        # ``nu_dtype: bfloat16`` / ``nu_factored_min_size: 256`` (or a
+        # group-local ``moment_dtype``) without touching the rest of the
+        # model's exact-AdamW state. Any of these keys present routes the
+        # group through adamw_lowmem (== adamw when all are null).
+        gcfg = group_cfg or {}
+        if name == "adamw" and any(
+            k in gcfg for k in ("nu_dtype", "nu_factored_min_size", "moment_dtype")
+        ):
+            return adamw_lowmem(
+                scaled,
+                weight_decay=wd,
+                mu_dtype=gcfg.get("moment_dtype", moment_dtype),
+                nu_dtype=gcfg.get("nu_dtype"),
+                factored_min_size=gcfg.get("nu_factored_min_size"),
+            )
         if name == "adamw":
             if factored:
                 # keep AdamW's decoupled, schedule-scaled weight decay
@@ -196,7 +345,9 @@ def make_optimizer(
     for gi, group in enumerate(groups):
         cfg = group.get("cfg", {}) or {}
         lr_scale = float(cfg.get("lr", base_lr)) / base_lr
-        transforms[f"group_{gi}"] = make_one(lr_scale, float(cfg.get("weight_decay", weight_decay)))
+        transforms[f"group_{gi}"] = make_one(
+            lr_scale, float(cfg.get("weight_decay", weight_decay)), cfg
+        )
 
     labels = _param_labels(params, groups, drop_remain)
     if frozen_patterns:

@@ -92,6 +92,44 @@ def test_block_skips_nondeterministic(rng):
     assert np.isfinite(np.asarray(out, np.float32)).all()
 
 
+@pytest.mark.parametrize("heads", [2, 3])  # even (all pairs) and odd (pair + tail)
+def test_attn_pack_parity(rng, heads):
+    """Pair-packed head_dim-64 attention (policy attn_pack=pair) must match
+    the per-head path bit-for-tolerance: same fp32 score/softmax order, padded
+    key columns masked to exp(-inf)=0."""
+    from schemanet_tpu.ops.pallas.encoder_block import attn_block
+
+    d, n, bs = 64 * heads, 50, 2  # n=50 -> n_pad=128 exercises the masking
+    x = jnp.asarray(rng.normal(size=(bs, n, d)).astype(np.float32))
+    g = jnp.asarray(rng.normal(size=(d,)).astype(np.float32))
+    be = jnp.asarray(rng.normal(size=(d,)).astype(np.float32) * 0.1)
+    wqkv = jnp.asarray(rng.normal(size=(d, 3 * d)).astype(np.float32) * 0.1)
+    bqkv = jnp.asarray(rng.normal(size=(3 * d,)).astype(np.float32) * 0.1)
+    wo = jnp.asarray(rng.normal(size=(d, d)).astype(np.float32) * 0.1)
+    bo = jnp.asarray(rng.normal(size=(d,)).astype(np.float32) * 0.1)
+
+    base = attn_block(x, g, be, wqkv, bqkv, wo, bo, heads, interpret=True, pack=False)
+    packed = attn_block(x, g, be, wqkv, bqkv, wo, bo, heads, interpret=True, pack=True)
+    np.testing.assert_allclose(
+        np.asarray(packed), np.asarray(base), rtol=2e-5, atol=2e-6
+    )
+
+
+def test_attn_pack_mosaic_lowering():
+    from schemanet_tpu.ops.pallas.encoder_block import attn_block
+
+    d, H, n, bs = 384, 6, 197, 4
+    x = jnp.zeros((bs, n, d), jnp.bfloat16)
+    g = jnp.zeros((d,), jnp.float32)
+    wqkv = jnp.zeros((d, 3 * d), jnp.float32)
+    bqkv = jnp.zeros((3 * d,), jnp.float32)
+    wo = jnp.zeros((d, d), jnp.float32)
+
+    jax.jit(
+        lambda x: attn_block(x, g, g, wqkv, bqkv, wo, g, H, pack=True)
+    ).trace(x).lower(lowering_platforms=("tpu",))
+
+
 def test_mosaic_lowering():
     """Both block kernels lower for TPU off-chip (the /verify trick)."""
     from schemanet_tpu.ops.pallas.encoder_block import attn_block, ffn_block

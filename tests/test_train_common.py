@@ -251,6 +251,113 @@ def test_factored_weight_decay_is_schedule_scaled():
     np.testing.assert_allclose(float(upd0["w"][0, 0]), 0.0, atol=1e-12)
 
 
+def test_adamw_lowmem_matches_adamw_when_disabled():
+    # with every lowmem knob off, adamw_lowmem must trace the exact optax.adamw
+    # update sequence (multi-step, bias corrections included)
+    from schemanet_tpu.train.common import adamw_lowmem
+
+    rng = np.random.default_rng(0)
+    params = {"w": jnp.asarray(rng.normal(size=(6, 5)), jnp.float32),
+              "b": jnp.asarray(rng.normal(size=(5,)), jnp.float32)}
+    ref_tx = optax.adamw(1e-3, weight_decay=0.05)
+    new_tx = adamw_lowmem(1e-3, weight_decay=0.05)
+    ref_state, new_state = ref_tx.init(params), new_tx.init(params)
+    p_ref = p_new = params
+    for step in range(5):
+        grads = jax.tree_util.tree_map(
+            lambda p: jnp.asarray(rng.normal(size=p.shape), jnp.float32), params
+        )
+        u_ref, ref_state = ref_tx.update(grads, ref_state, p_ref)
+        u_new, new_state = new_tx.update(grads, new_state, p_new)
+        p_ref = optax.apply_updates(p_ref, u_ref)
+        p_new = optax.apply_updates(p_new, u_new)
+        for k in params:
+            np.testing.assert_allclose(
+                np.asarray(p_new[k]), np.asarray(p_ref[k]), rtol=2e-6, atol=1e-7,
+                err_msg=f"step {step} param {k}",
+            )
+
+
+def test_adamw_lowmem_factored_rank1_exact():
+    # Adafactor's nu_hat = r c^T / sum(r) is EXACT when g^2 is rank-1 — a
+    # first step with g = outer(u, v) must match the full-nu update exactly
+    from schemanet_tpu.train.common import adamw_lowmem
+
+    rng = np.random.default_rng(1)
+    u, v = rng.normal(size=(8, 1)), rng.normal(size=(1, 8))
+    params = {"w": jnp.zeros((8, 8), jnp.float32)}
+    grads = {"w": jnp.asarray(u * v, jnp.float32)}
+
+    full_tx = adamw_lowmem(1e-3)
+    fac_tx = adamw_lowmem(1e-3, factored_min_size=4)
+    uf, _ = full_tx.update(grads, full_tx.init(params), params)
+    ua, _ = fac_tx.update(grads, fac_tx.init(params), params)
+    np.testing.assert_allclose(np.asarray(ua["w"]), np.asarray(uf["w"]), rtol=1e-5)
+
+
+def test_adamw_lowmem_state_layout_and_descent():
+    from schemanet_tpu.train.common import adamw_lowmem
+
+    params = {"big": jnp.ones((16, 8, 8)), "small": jnp.ones((3,))}
+    tx = adamw_lowmem(
+        1e-2, mu_dtype=jnp.bfloat16, nu_dtype=jnp.bfloat16, factored_min_size=8
+    )
+    state = tx.init(params)
+    scale_state = state[0]  # scale_by_adam_lowmem is first in the chain
+    nu = scale_state.nu
+    assert set(nu["big"]) == {"row", "col"}
+    assert nu["big"]["row"].shape == (16, 8) and nu["big"]["col"].shape == (16, 8)
+    assert set(nu["small"]) == {"full"}
+    assert nu["small"]["full"].dtype == jnp.bfloat16
+    assert scale_state.mu["big"].dtype == jnp.bfloat16
+
+    # descent on a quadratic: ||p||^2/2, gradient = p
+    p = params
+    for _ in range(50):
+        g = p
+        upd, state = tx.update(g, state, p)
+        p = optax.apply_updates(p, upd)
+    assert float(jnp.abs(p["big"]).mean()) < 0.75
+    assert float(jnp.abs(p["small"]).mean()) < 0.75
+
+
+def test_per_group_lowmem_moment_overrides():
+    # a param-group cfg carrying nu_dtype / nu_factored_min_size must route
+    # that group (and only it) through adamw_lowmem
+    params = {
+        "schema_net": {"edge_weights": jnp.ones((4, 8, 8))},
+        "matcher": {"w": jnp.ones((8, 8))},
+    }
+    tx, labels = make_optimizer(
+        params,
+        {"name": "AdamW", "lr": 1e-3},
+        schedule=lambda s: jnp.asarray(1e-3),
+        param_groups=[
+            {
+                "pattern": r"schema_net\.edge_weights",
+                "cfg": {"nu_dtype": "bfloat16", "nu_factored_min_size": 8,
+                        "moment_dtype": "bfloat16"},
+            }
+        ],
+    )
+    assert labels["schema_net"]["edge_weights"] == "group_0"
+    assert labels["matcher"]["w"] == "default"
+    state = tx.init(params)
+    leaves = jax.tree_util.tree_leaves(state)
+    # factored row/col stats for the [4, 8, 8] edge tensor exist...
+    assert any(getattr(l, "shape", None) == (4, 8) for l in leaves)
+    # ...and the only full-rank [4,8,8] moment is the bf16 mu — no full nu
+    full_rank = [
+        l for l in leaves
+        if getattr(l, "shape", None) == (4, 8, 8) and jnp.issubdtype(l.dtype, jnp.floating)
+    ]
+    assert len(full_rank) == 1 and full_rank[0].dtype == jnp.bfloat16
+    grads = jax.tree_util.tree_map(lambda p: jnp.full_like(p, 0.25), params)
+    updates, _ = tx.update(grads, state, params)
+    assert float(updates["schema_net"]["edge_weights"][0, 0, 0]) < 0
+    assert float(updates["matcher"]["w"][0, 0]) < 0
+
+
 def test_checkpoint_retention_keeps_best(tmp_path):
     # max_keep prunes the oldest iter-* checkpoints but never `best`
     from schemanet_tpu.train.common import CheckpointManager
