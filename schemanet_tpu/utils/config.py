@@ -69,12 +69,20 @@ def apply_overrides(
         node = out
         parts = dotted.split(".")
         for key in parts[:-1]:
+            # integer segments index into list nodes (e.g.
+            # ``training.param_groups.0.cfg.nu_dtype=bfloat16``)
+            if isinstance(node, list):
+                node = node[int(key)]
+                continue
             child = node.get(key) if isinstance(node, dict) else None
             if isinstance(child, str):
                 resolved = resolve_subconfig(child, base_dir)
                 node[key] = resolved.get(key, resolved)
             node = node.setdefault(key, {})
-        node[parts[-1]] = value
+        if isinstance(node, list):
+            node[int(parts[-1])] = value
+        else:
+            node[parts[-1]] = value
     return out
 
 

@@ -44,6 +44,30 @@ def test_override_parsing():
     assert cfg["training"]["batch_size"] == 64  # original untouched
 
 
+def test_override_list_index():
+    # integer path segments index into lists — lets the CLI target one param
+    # group: training.param_groups.0.cfg.nu_dtype=bfloat16
+    from schemanet_tpu.utils.config import apply_overrides, parse_override_strings
+
+    cfg = {
+        "training": {
+            "param_groups": [
+                {"pattern": "schema_net", "cfg": {"weight_decay": 0.0005}},
+                {"pattern": "matcher"},
+            ]
+        }
+    }
+    over = parse_override_strings(
+        ["training.param_groups.0.cfg.nu_dtype=bfloat16",
+         "training.param_groups.1.pattern=matcher2"]
+    )
+    out = apply_overrides(cfg, over)
+    assert out["training"]["param_groups"][0]["cfg"]["nu_dtype"] == "bfloat16"
+    assert out["training"]["param_groups"][0]["cfg"]["weight_decay"] == 0.0005
+    assert out["training"]["param_groups"][1]["pattern"] == "matcher2"
+    assert "nu_dtype" not in cfg["training"]["param_groups"][0]["cfg"]
+
+
 @pytest.mark.parametrize("worker", ["backbone_worker"])
 def test_cli_train_smoke(tmp_path, worker):
     cfg = {

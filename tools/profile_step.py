@@ -88,7 +88,7 @@ def analyse(trace_dir: str, top: int = 20) -> None:
         print(
             f"{v[ix['total_self_time_percent']]:5.2f}% x{v[ix['occurrences']]:<4}"
             f" {str(v[ix['bound_by']]):<9} {str(v[ix['hlo_op_name']])[:30]:<30}"
-            f" {str(v[ix['tf_op_name']])[:70]}"
+            f" {str(v[ix['tf_op_name']])[:160]}"
         )
 
 
