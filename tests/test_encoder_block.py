@@ -115,6 +115,25 @@ def test_attn_pack_parity(rng, heads):
     )
 
 
+def test_attn_pack_policy_transformer_parity(rng):
+    """attn_pack=pair via the kernel policy must leave Transformer.run output
+    unchanged (d=64 heads, frozen deterministic path)."""
+    model = Transformer(
+        num_encoder_layers=2, num_heads=2, embed_dim=128, dim_feedforward=256,
+        dropout=None, activation="gelu", final_norm=True, norm_eps=1e-6,
+    )
+    x = jnp.asarray(rng.normal(size=(2, 9, 128)).astype(np.float32))
+    params = model.init(jax.random.PRNGKey(1), x)
+
+    policy.configure({"block": "interpret"})
+    base, _ = model.apply(params, x, method=Transformer.run)
+    policy.configure({"block": "interpret", "attn_pack": "pair"})
+    packed, _ = model.apply(params, x, method=Transformer.run)
+    np.testing.assert_allclose(
+        np.asarray(packed), np.asarray(base), rtol=2e-5, atol=2e-6
+    )
+
+
 def test_attn_pack_mosaic_lowering():
     from schemanet_tpu.ops.pallas.encoder_block import attn_block
 
