@@ -8,11 +8,21 @@ explicit ``capture`` argument: a static tuple of probe names such as
 dict. Everything stays a pure function — no hook machinery, fully jittable.
 
 Probe names:
-    layers_{i}.out       — output sequence of encoder layer i
-    layers_{i}.attn      — post-softmax attention [bs, H, n, n]
-    layers_{i}.attn_raw  — pre-softmax (scaled) attention [bs, H, n, n]
-    layers_{i}.resid1    — attention residual sum before dropout (identity1)
-    layers_{i}.resid2    — mlp residual sum before dropout (identity2)
+    layers_{i}.out        — output sequence of encoder layer i
+    layers_{i}.attn       — post-softmax attention [bs, H, n, n]
+    layers_{i}.attn_raw   — pre-softmax (scaled) attention [bs, H, n, n]
+    layers_{i}.attn_hmean — head-MEAN of attn_raw [bs, n, n] (fp32-reduced).
+                            Unlike attn/attn_raw this probe does not force the
+                            plain path: the whole-layer fused kernel emits it
+                            directly (ops/pallas/encoder_block.py attn_block
+                            capture_hmean), so the SchemaNet capture layer
+                            keeps its fusion and the HBM hand-off is H x
+                            smaller. The reference surfaces the full raw
+                            attention and its wrapper means over heads
+                            (ingredient_model_wrapper.py:61); only the mean is
+                            ever consumed by the graph build.
+    layers_{i}.resid1     — attention residual sum before dropout (identity1)
+    layers_{i}.resid2     — mlp residual sum before dropout (identity2)
 """
 
 from __future__ import annotations
@@ -46,6 +56,7 @@ class EncoderLayer(nn.Module):
         fused_ln: Optional[bool] = None,  # LN fusion is probe-independent
         quant: bool = False,  # W8A8 projections (frozen-forward only)
         block_fuse: bool = False,  # whole-layer fusion (no probes at all)
+        capture_hmean: bool = False,  # surface the attn_hmean probe
     ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
         fused_ln = fused if fused_ln is None else fused_ln
         attention = MultiHeadSelfAttention(
@@ -93,14 +104,20 @@ class EncoderLayer(nn.Module):
                     pa["linear_qkv"]["kernel"], pa["linear_qkv"]["bias"],
                     pa["linear_out"]["kernel"], pa["linear_out"]["bias"],
                     self.num_heads, eps=self.norm_eps, interpret=interp,
+                    capture_hmean=capture_hmean,
                 )
+                probes = {}
+                if capture_hmean:
+                    seq, hmean = seq
+                    probes["attn_hmean"] = hmean
                 seq = ffn_block(
                     seq, p2["scale"], p2["bias"],
                     pm["linear1"]["kernel"], pm["linear1"]["bias"],
                     pm["linear2"]["kernel"], pm["linear2"]["bias"],
                     activation=self.activation, eps=self.norm_eps, interpret=interp,
                 )
-                return seq, {"out": seq}
+                probes["out"] = seq
+                return seq, probes
 
         def dropped(x):
             if self.dropout and not deterministic:
@@ -189,6 +206,11 @@ class EncoderLayer(nn.Module):
         if attn is not None:  # unavailable on the fused (Pallas) path
             probes["attn"] = attn
             probes["attn_raw"] = attn_raw
+            # same fp32 reduce the kernel capture does; uncaptured probes are
+            # DCE'd by XLA so this costs nothing unless requested
+            probes["attn_hmean"] = jnp.mean(
+                attn_raw.astype(jnp.float32), axis=1
+            ).astype(attn_raw.dtype)
         probes["out"] = seq
         return seq, probes
 
@@ -259,17 +281,29 @@ class Transformer(nn.Module):
         for i in range(start_layer, end_layer):
             # the fused kernel cannot surface attention probes — any layer
             # whose attn/attn_raw is captured takes the plain XLA path
-            fused_i = fused_attention and not any(
+            attn_probe_i = any(
                 c in capture for c in (f"layers_{i}.attn", f"layers_{i}.attn_raw")
             )
+            # attn_hmean is special: the flash path can't surface it, but the
+            # whole-layer fused kernel emits it directly (capture_hmean) —
+            # so it blocks the flash path, not block fusion; if the block
+            # branch declines at runtime the layer falls through to the plain
+            # path, which derives the probe from attn_raw
+            hmean_i = f"layers_{i}.attn_hmean" in capture
+            fused_i = fused_attention and not attn_probe_i and not hmean_i
             # whole-layer fusion additionally requires NO intermediate probe
             # of this layer (resid1/resid2); 'out' equals the returned seq
-            block_i = fused_i and not any(
-                c in capture for c in (f"layers_{i}.resid1", f"layers_{i}.resid2")
+            block_i = (
+                fused_attention
+                and not attn_probe_i
+                and not any(
+                    c in capture
+                    for c in (f"layers_{i}.resid1", f"layers_{i}.resid2")
+                )
             )
             seq, probes = self.layers[i](
                 seq, attn_mask, deterministic, fused_i, fused_attention, quant,
-                block_i,
+                block_i, hmean_i,
             )
             for kind, value in probes.items():
                 probe_name = f"layers_{i}.{kind}"

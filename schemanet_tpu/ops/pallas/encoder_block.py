@@ -58,7 +58,10 @@ def _dense(x, w_ref, b_ref):
 
 
 def _head_attn(qkv, h, H, d, scale):
-    """One head's softmax(q k^T) v from the fused-projection lane layout."""
+    """One head's softmax(q k^T) v from the fused-projection lane layout.
+
+    Returns (out, scores): the fp32 pre-softmax scaled scores are surfaced so
+    ``attn_block`` can emit a head-mean capture without a second pass."""
     q = qkv[:, h * d : (h + 1) * d] * qkv.dtype.type(scale)
     k = qkv[:, (H + h) * d : (H + h + 1) * d]
     v = qkv[:, (2 * H + h) * d : (2 * H + h + 1) * d]
@@ -66,7 +69,7 @@ def _head_attn(qkv, h, H, d, scale):
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     )
     attn = jax.nn.softmax(scores, axis=-1)
-    return jnp.dot(attn.astype(v.dtype), v, preferred_element_type=jnp.float32)
+    return jnp.dot(attn.astype(v.dtype), v, preferred_element_type=jnp.float32), scores
 
 
 def _paired_head_attn(qkv, h, H, d, scale):
@@ -114,30 +117,41 @@ def _paired_head_attn(qkv, h, H, d, scale):
         qkv[:, (2 * H + h) * d : (2 * H + h + 1) * d],
         qkv[:, (2 * H + h + 1) * d : (2 * H + h + 2) * d],
     )
-    scores = jax.lax.dot_general(
+    raw = jax.lax.dot_general(
         q2, k_bd, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     )  # [n, 2*n_pad] = [S_h | S_h1] with padded key columns
     if n_pad != n:
-        col = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
-        scores = jnp.where(col % n_pad < n, scores, -jnp.inf)
+        col = jax.lax.broadcasted_iota(jnp.int32, raw.shape, 1)
+        scores = jnp.where(col % n_pad < n, raw, -jnp.inf)
+    else:
+        scores = raw
     # segmented softmax at the lane-aligned n_pad boundary (one per head)
     p1 = jax.nn.softmax(scores[:, :n_pad], axis=-1)
     p2 = jax.nn.softmax(scores[:, n_pad:], axis=-1)
     attn = jnp.concatenate([p1, p2], axis=-1).astype(qkv.dtype)
-    return jnp.dot(attn, v_bd, preferred_element_type=jnp.float32)  # [n, 2d]
+    # pre-mask raw slices = each head's pre-softmax scores (padded cols cut)
+    raw2 = raw[:, :n] + raw[:, n_pad : n_pad + n]
+    return jnp.dot(attn, v_bd, preferred_element_type=jnp.float32), raw2  # [n, 2d]
 
 
-def _mhsa_rows(qkv, H, d, scale, out_dtype, pack):
+def _mhsa_rows(qkv, H, d, scale, out_dtype, pack, want_scores=False):
+    """Concatenated per-head attention outputs; with ``want_scores`` also the
+    fp32 SUM over heads of the pre-softmax scaled scores (for the head-mean
+    capture — summed here so the [n, n] accumulator is the only extra VMEM)."""
     outs = []
+    acc = None
     h = 0
     while h < H:
         if pack and h + 1 < H:
-            outs.append(_paired_head_attn(qkv, h, H, d, scale).astype(out_dtype))
+            out, scores = _paired_head_attn(qkv, h, H, d, scale)  # scores pre-summed
             h += 2
         else:
-            outs.append(_head_attn(qkv, h, H, d, scale).astype(out_dtype))
+            out, scores = _head_attn(qkv, h, H, d, scale)
             h += 1
-    return jnp.concatenate(outs, axis=-1)
+        outs.append(out.astype(out_dtype))
+        if want_scores:
+            acc = scores if acc is None else acc + scores
+    return jnp.concatenate(outs, axis=-1), acc
 
 
 def _attn_block_kernel(
@@ -148,8 +162,27 @@ def _attn_block_kernel(
     for b in range(x_ref.shape[0]):
         xb = x_ref[b]  # [n, dim]
         qkv = _dense(_ln_rows(xb, g1_ref, be1_ref, eps), wqkv_ref, bqkv_ref)
-        proj = _dense(_mhsa_rows(qkv, H, d, scale, xb.dtype, pack), wo_ref, bo_ref)
+        mh, _ = _mhsa_rows(qkv, H, d, scale, xb.dtype, pack)
+        proj = _dense(mh, wo_ref, bo_ref)
         out_ref[b] = xb + proj
+
+
+def _attn_block_hmean_kernel(
+    x_ref, g1_ref, be1_ref, wqkv_ref, bqkv_ref, wo_ref, bo_ref, out_ref, hm_ref,
+    *, num_heads, head_dim, scale, eps, pack=False,
+):
+    """attn_block + head-mean of the pre-softmax scaled scores as a second
+    output — the SchemaNet capture (predictor.py attn_mean) folded into the
+    kernel so the capture layer keeps the fused path and the [bs, H, n, n]
+    raw-attention HBM round trip shrinks to [bs, n, n]."""
+    H, d = num_heads, head_dim
+    for b in range(x_ref.shape[0]):
+        xb = x_ref[b]  # [n, dim]
+        qkv = _dense(_ln_rows(xb, g1_ref, be1_ref, eps), wqkv_ref, bqkv_ref)
+        mh, score_sum = _mhsa_rows(qkv, H, d, scale, xb.dtype, pack, want_scores=True)
+        proj = _dense(mh, wo_ref, bo_ref)
+        out_ref[b] = xb + proj
+        hm_ref[b] = (score_sum * (1.0 / H)).astype(hm_ref.dtype)
 
 
 def _ffn_block_kernel(
@@ -173,11 +206,17 @@ def _block_items(n, dim, three_hd, itemsize) -> int:
 
 
 def attn_block(x, ln_scale, ln_bias, wqkv, bqkv, wo, bo, num_heads,
-               eps=1e-6, interpret=False, pack=None):
+               eps=1e-6, interpret=False, pack=None, capture_hmean=False):
     """x + MHSA-half of a pre-norm encoder layer. [bs, n, dim] -> same.
 
     ``pack`` (None = policy ``attn_pack``): pair-pack head_dim-64 heads into
-    128-deep MXU matmuls (see _paired_head_attn). Only engaged at d == 64."""
+    128-deep MXU matmuls (see _paired_head_attn). Only engaged at d == 64.
+
+    ``capture_hmean``: also return the head-mean of the PRE-softmax scaled
+    scores ([bs, n, n], fp32-accumulated, emitted in x.dtype) — the
+    SchemaNet graph-build capture (schema/predictor.py). Folding it into the
+    kernel lets the capture layer keep the fused path instead of falling back
+    to the plain XLA attention just to surface [bs, H, n, n] raw scores."""
     bs, n, dim = x.shape
     three_hd = wqkv.shape[1]
     d = three_hd // (3 * num_heads)
@@ -189,9 +228,18 @@ def attn_block(x, ln_scale, ln_bias, wqkv, bqkv, wo, bo, num_heads,
     blk = _block_items(n, dim, three_hd, x.dtype.itemsize)
     # operands in the compute dtype like flax Dense / the surrounding model
     wqkv, bqkv, wo, bo = (a.astype(x.dtype) for a in (wqkv, bqkv, wo, bo))
-    return pl.pallas_call(
+    kernel = _attn_block_hmean_kernel if capture_hmean else _attn_block_kernel
+    out_specs = pl.BlockSpec((blk, n, dim), lambda b: (b, 0, 0), memory_space=pltpu.VMEM)
+    out_shape = jax.ShapeDtypeStruct((bs, n, dim), x.dtype)
+    if capture_hmean:
+        out_specs = [
+            out_specs,
+            pl.BlockSpec((blk, n, n), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+        ]
+        out_shape = [out_shape, jax.ShapeDtypeStruct((bs, n, n), x.dtype)]
+    result = pl.pallas_call(
         functools.partial(
-            _attn_block_kernel,
+            kernel,
             num_heads=num_heads, head_dim=d, scale=1.0 / (d ** 0.5), eps=float(eps),
             pack=pack,
         ),
@@ -205,21 +253,21 @@ def attn_block(x, ln_scale, ln_bias, wqkv, bqkv, wo, bo, num_heads,
             pl.BlockSpec((num_heads * d, dim), lambda b: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((dim,), lambda b: (0,), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec(
-            (blk, n, dim), lambda b: (b, 0, 0), memory_space=pltpu.VMEM
-        ),
-        out_shape=jax.ShapeDtypeStruct((bs, n, dim), x.dtype),
+        out_specs=out_specs,
+        out_shape=out_shape,
         cost_estimate=pl.CostEstimate(
             # qkv + out projections + the per-head score/value matmuls
             flops=2 * bs * n * dim * three_hd
             + 2 * bs * n * num_heads * d * dim
             + 2 * 2 * bs * num_heads * n * n * d,
             bytes_accessed=2 * x.size * x.dtype.itemsize
-            + (wqkv.size + wo.size) * x.dtype.itemsize,
+            + (wqkv.size + wo.size) * x.dtype.itemsize
+            + (bs * n * n * x.dtype.itemsize if capture_hmean else 0),
             transcendentals=bs * num_heads * n * n + bs * n,
         ),
         interpret=interpret,
     )(x, ln_scale, ln_bias, wqkv, bqkv, wo, bo)
+    return result
 
 
 def _ffn_rows(f: int, itemsize: int) -> int:

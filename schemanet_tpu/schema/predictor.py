@@ -77,13 +77,19 @@ class IngredientBackbone(nn.Module):
 
     def __call__(self, img: jnp.ndarray, quantize: Optional[bool] = None) -> Dict[str, jnp.ndarray]:
         extract = self.extract_layer if self.extract_layer is not None else self.encode_layer
-        capture = (f"layers_{extract}.attn_raw",)
+        # head-mean of the pre-softmax scores is the ONLY attention statistic
+        # the graph build consumes (reference ingredient_model_wrapper.py:61
+        # means the hooked raw attention over heads) — capturing the mean
+        # directly lets the capture layer keep the whole-layer fused kernel
+        # (the attn_raw probe forced it onto the plain path) and shrinks the
+        # [bs, H, n, n] capture hand-off to [bs, n, n]
+        capture = (f"layers_{extract}.attn_hmean",)
         # frozen: run under stop_gradient (the reference loads no-grad traces).
         # The frozen forward takes the fused Pallas kernels on TPU backends
         # (attention scores / LN stats / FFN hidden state stay in VMEM); each
-        # fusion site re-checks its own backend, and the capture layer's
-        # attention automatically falls back to the plain path since its raw
-        # attention must be surfaced.
+        # fusion site re-checks its own backend. The capture layer stays
+        # fused too: the attn_hmean probe is emitted by the fused kernel
+        # itself (ops/pallas/encoder_block.py capture_hmean).
         mid_feat, captured = self.backbone.encode_until(
             img,
             end_layer=self.encode_layer + 1,
@@ -93,7 +99,7 @@ class IngredientBackbone(nn.Module):
             quant=self.quant_backbone,
         )
         mid_feat = jax.lax.stop_gradient(mid_feat)
-        attn_raw = jax.lax.stop_gradient(captured[f"layers_{extract}.attn_raw"])
+        attn_hmean = jax.lax.stop_gradient(captured[f"layers_{extract}.attn_hmean"])
 
         n_prefix = self.backbone.num_prefix_tokens
         # VQ the patch tokens only; prefix (CLS/dist) tokens are never
@@ -109,12 +115,10 @@ class IngredientBackbone(nn.Module):
         )
         feat = jnp.concatenate([mid_feat[:, :n_prefix], q_patches], axis=1)
 
-        # head-mean raw attention, CLS row / patch block split; the mean is
-        # computed in fp32 and emitted in attn_dtype (the cast fuses into the
-        # reduce — no extra pass)
-        attn_mean = jnp.mean(attn_raw.astype(jnp.float32), axis=1).astype(
-            self.attn_dtype
-        )  # [bs, n, n]
+        # head-mean raw attention (fp32-reduced at the probe site — in-kernel
+        # on the fused path), CLS row / patch block split, emitted in
+        # attn_dtype (bf16 halves the hand-off under training precision)
+        attn_mean = attn_hmean.astype(self.attn_dtype)  # [bs, n, n]
         return {
             "cls_token": feat[:, :n_prefix],
             "feat": q_patches,
