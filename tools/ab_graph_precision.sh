@@ -46,7 +46,12 @@ python -m schemanet_tpu.cli init \
   --save-fp $RUN/init_IR_atlas.msgpack --batch-size $BS \
   --seed $SEED -o dataset.num_classes=$K -o schema_net.bundle=$RUN/ingredient/bundle
 
-for P in default highest; do
+# AB_ONLY_DEFAULT=1: stop after the `default` arm — enough to (re)build the
+# stage 0-3 artifacts + the fp32-moments baseline that ab_atlas_moments.sh
+# compares against, without burning chip time on the `highest` arm again.
+ARMS="default highest"
+[ -n "$AB_ONLY_DEFAULT" ] && ARMS="default"
+for P in $ARMS; do
   echo "== stage 4: SchemaNet training (graph_precision=$P, 3 epochs) =="
   python -m schemanet_tpu.cli train --worker schema_net_worker \
     --cfg configs/synthetic/schema_net/deit_tiny-l9-M_128.yaml \
