@@ -32,6 +32,9 @@ symconv     single   [AB10] two 99.8 vs 97.6 single; with ln=xla [X5] 89.7
                      vs [X2] 87.5 — E_sym materialisation wins at both
 static_embed_bwd blocked  [AB2] sorted_scatter 97.4 ~= blocked 97.6 at CIFAR;
                      blocked avoids the scatter at ImageNet scale
+embed_bwd   xla      dynamic-id (instance path) embedding backward; `pallas`
+                     = VMEM-accumulated histogram kernel
+                     (ops/pallas/embed_bwd.py), opt-in pending the r05 A/B
 ==========  =======  =====================================================
 
 Config surface: a ``kernels:`` mapping in the YAML (or ``--set kernels.ln=…``)
@@ -75,6 +78,9 @@ _AUTO_TPU = {
     "vq": "xla",
     "symconv": "single",
     "static_embed_bwd": "blocked",
+    # dynamic-id embedding backward (instance path, scatter-scale): the VMEM
+    # histogram kernel (ops/pallas/embed_bwd.py) is opt-in until chip-measured
+    "embed_bwd": "xla",
     "prng_impl": "threefry",
     # fused AdamW+projection for the atlas tensors (ops/pallas/atlas_opt.py):
     # measured and LOST on this chip (r04 [OPT1]/[OPT2] — CIFAR 75.6 vs 74.4,
@@ -102,6 +108,7 @@ _ENV = {
     "vq": "SCHEMANET_VQ_BACKEND",
     "symconv": "SCHEMANET_SYMCONV",
     "static_embed_bwd": "SCHEMANET_STATIC_EMBED_BWD",
+    "embed_bwd": "SCHEMANET_EMBED_BWD",
     "prng_impl": "SCHEMANET_PRNG_IMPL",
     "atlas_opt": "SCHEMANET_ATLAS_OPT",
     "attn_pack": "SCHEMANET_ATTN_PACK",
@@ -117,6 +124,7 @@ _CHOICES = {
     "vq": ("auto", "pallas", "xla"),
     "symconv": ("auto", "single", "two"),
     "static_embed_bwd": ("auto", "blocked", "sorted_scatter"),
+    "embed_bwd": ("auto", "pallas", "interpret", "xla"),
     "prng_impl": ("auto", "threefry", "rbg"),
     "atlas_opt": ("auto", "fused", "interpret", "xla"),
     "attn_pack": ("auto", "pair", "off"),
@@ -134,6 +142,7 @@ class KernelPolicy:
     vq: str = "auto"
     symconv: str = "auto"
     static_embed_bwd: str = "auto"
+    embed_bwd: str = "auto"
     prng_impl: str = "auto"
     atlas_opt: str = "auto"
     attn_pack: str = "auto"

@@ -150,6 +150,19 @@ def _embed_lookup_bwd(res, g):
     num_rows, ids = res
     rows = int(np.prod(ids.shape))
     if rows * num_rows * g.shape[-1] > _EMBED_ONEHOT_MAX_FLOPS:
+        from ..ops.policy import resolve
+
+        mode = resolve("embed_bwd")
+        if mode in ("pallas", "interpret"):
+            from ..ops.pallas import embed_bwd as _ek
+
+            if _ek.shape_fits_kernel(rows, num_rows, g.shape[-1]):
+                # VMEM-accumulated histogram kernel (fp32 accumulation, same
+                # serial duplicate-id semantics as the scatter-add)
+                gt = _ek.embed_grad(ids, g, num_rows, mode == "interpret")
+                return gt.astype(g.dtype), np.zeros(
+                    ids.shape, dtype=jax.dtypes.float0
+                )
         # accumulate the scatter-add in fp32 like the one-hot branch: hot codes
         # receive thousands of duplicate-id addends per batch at ImageNet scale
         # and bf16 accumulation would systematically swamp the small ones
