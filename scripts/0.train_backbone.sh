@@ -4,6 +4,7 @@
 set -e
 cd "$(dirname "$0")/.."
 DS=${1:-cifar_100}; MODEL=${2:-deit_tiny}; shift 2 2>/dev/null || true
+R=${RUN_DIR:-run}
 python -m schemanet_tpu.cli train --worker backbone_worker \
     --cfg "configs/${DS}/vanilla/${MODEL}.yaml" \
-    --log-dir "run/${DS}/vanilla/${MODEL}" "$@"
+    --log-dir "${R}/${DS}/vanilla/${MODEL}" "$@"

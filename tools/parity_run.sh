@@ -20,6 +20,7 @@ set -e
 cd "$(dirname "$0")/.."
 RUN_DIR=${RUN_DIR:-run}
 WEIGHTS_DIR=${WEIGHTS_DIR:-weights}
+export RUN_DIR  # stage scripts root their artifact paths here too
 
 case "$1" in
   1) DS=cifar_10;      MODEL=deit_tiny;  M=128;  K=10;   MAXF=1000000 ;;
@@ -85,6 +86,10 @@ need "$RUN_DIR/$DS/schema_net/$MODEL-l9-M_$M/ckpt/best"
 say "stage 5: eval worker (top-1 + CB agreement)"
 python -m schemanet_tpu.cli train --worker eval_worker \
     --cfg "configs/$DS/schema_net/$MODEL-l9-M_$M.yaml" \
-    --log-dir "$RUN_DIR/$DS/eval/$MODEL-l9-M_$M" $EXTRA "$@"
+    --log-dir "$RUN_DIR/$DS/eval/$MODEL-l9-M_$M" \
+    --resume "$RUN_DIR/$DS/schema_net/$MODEL-l9-M_$M/ckpt/best" \
+    -o "schema_net.bundle=$RUN_DIR/$DS/ingredient/$MODEL-l9-M_$M/bundle" \
+    -o "schema_net.initial_state_fp=$RUN_DIR/$DS/schema_net/init_IR_atlas-$MODEL-l9-M_$M.msgpack" \
+    $EXTRA "$@"
 
 say "DONE — compare the logged top-1 against the reference run (PARITY.md #4)"
