@@ -59,11 +59,46 @@ def _kernel(ids_ref, g_ref, out_ref, *, rows: int):
     jax.lax.fori_loop(0, rows, body, 0)
 
 
-def _pick_blocks(rows: int, num_rows: int, d: int) -> tuple[int, int] | None:
+def _kernel_ilp2(ids_ref, g_ref, out_ref, acc_ref, *, rows: int):
+    """2-way variant: even rows accumulate into the out block, odd rows into
+    a VMEM shadow accumulator. Consecutive loop iterations touch statically
+    DISTINCT buffers, so Mosaic can overlap their read-modify-writes (the
+    single-accumulator kernel serialises on the compiler's inability to
+    disambiguate dynamic row indices). The shadow is folded in on the last
+    chunk — one extra [M, Db] VMEM add per feature block."""
+    first = pl.program_id(1) == 0
+
+    @pl.when(first)
+    def _():
+        out_ref[...] = jnp.zeros_like(out_ref)
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    half = rows // 2
+
+    def body(r, _):
+        i0 = ids_ref[2 * r]
+        row0 = g_ref[2 * r, :].astype(jnp.float32)
+        out_ref[pl.ds(i0, 1), :] = out_ref[pl.ds(i0, 1), :] + row0[None, :]
+        i1 = ids_ref[2 * r + 1]
+        row1 = g_ref[2 * r + 1, :].astype(jnp.float32)
+        acc_ref[pl.ds(i1, 1), :] = acc_ref[pl.ds(i1, 1), :] + row1[None, :]
+        return 0
+
+    jax.lax.fori_loop(0, half, body, 0)
+
+    @pl.when(pl.program_id(1) == pl.num_programs(1) - 1)
+    def _():
+        out_ref[...] = out_ref[...] + acc_ref[...]
+
+
+def _pick_blocks(
+    rows: int, num_rows: int, d: int, ilp: int = 1
+) -> tuple[int, int] | None:
     """(C row-chunk, Db feature-block) fitting the VMEM budget, or None.
 
-    The out block is fp32 [num_rows, Db]; prefer the widest Db (fewest passes
-    over g) that keeps out + g-chunk + headroom under the scoped-VMEM budget.
+    The out block is fp32 [num_rows, Db] (x2 for the ilp2 shadow); prefer the
+    widest Db (fewest passes over g) that keeps out + g-chunk + headroom
+    under the scoped-VMEM budget.
     """
     # prefer the widest Db (fewest serial passes over the rows — the RMW
     # chain is the cost), then the largest chunk (fewest grid steps); the
@@ -73,29 +108,36 @@ def _pick_blocks(rows: int, num_rows: int, d: int) -> tuple[int, int] | None:
             continue
         for c in (4096, 2048, 1024):
             cc = min(rows, c)
-            vmem = num_rows * db * 4 + 2 * cc * db * 2 + 4 * cc
+            if ilp == 2 and cc % 2:
+                cc += 1  # the interleaved loop consumes row pairs
+            vmem = ilp * num_rows * db * 4 + 2 * cc * db * 2 + 4 * cc
             if vmem <= 11 * 1024 * 1024:
                 return cc, db
     return None
 
 
-def shape_fits_kernel(rows: int, num_rows: int, d: int) -> bool:
+def shape_fits_kernel(rows: int, num_rows: int, d: int, ilp: int = 1) -> bool:
     """Static gate: table block must fit VMEM and the work must be scatter-
     scale (the small-vocabulary one-hot branch already wins below the
     `_EMBED_ONEHOT_MAX_FLOPS` crossover — see schema/gnn.py)."""
-    return d % 128 == 0 and _pick_blocks(rows, num_rows, d) is not None
+    return d % 128 == 0 and _pick_blocks(rows, num_rows, d, ilp) is not None
 
 
-@functools.partial(jax.jit, static_argnums=(2, 3))
+@functools.partial(jax.jit, static_argnums=(2, 3, 4))
 def embed_grad(
-    ids: jnp.ndarray, g: jnp.ndarray, num_rows: int, interpret: bool = False
+    ids: jnp.ndarray,
+    g: jnp.ndarray,
+    num_rows: int,
+    interpret: bool = False,
+    ilp: int = 1,
 ) -> jnp.ndarray:
     """fp32 [num_rows, D] table gradient: ``out[m] = sum over r with
     ids[r]==m of g[r]`` — the embedding-lookup cotangent."""
+    assert ilp in (1, 2), ilp
     ids = ids.reshape(-1).astype(jnp.int32)
     g2 = g.reshape(ids.size, g.shape[-1])
     rows, d = g2.shape
-    blocks = _pick_blocks(rows, num_rows, d)
+    blocks = _pick_blocks(rows, num_rows, d, ilp)
     assert blocks is not None, (rows, num_rows, d)
     c, db = blocks
     pad = -rows % c
@@ -104,8 +146,11 @@ def embed_grad(
         ids = jnp.concatenate([ids, jnp.zeros(pad, jnp.int32)])
         g2 = jnp.concatenate([g2, jnp.zeros((pad, d), g2.dtype)], axis=0)
     grid = (d // db, (rows + pad) // c)
+    kernel = functools.partial(
+        _kernel if ilp == 1 else _kernel_ilp2, rows=c
+    )
     return pl.pallas_call(
-        functools.partial(_kernel, rows=c),
+        kernel,
         grid=grid,
         in_specs=[
             pl.BlockSpec((c,), lambda j, i: (i,), memory_space=pltpu.SMEM),
@@ -115,6 +160,9 @@ def embed_grad(
             (num_rows, db), lambda j, i: (0, j), memory_space=pltpu.VMEM
         ),
         out_shape=jax.ShapeDtypeStruct((num_rows, d), jnp.float32),
+        scratch_shapes=(
+            [] if ilp == 1 else [pltpu.VMEM((num_rows, db), jnp.float32)]
+        ),
         cost_estimate=pl.CostEstimate(
             flops=2 * rows * d,
             bytes_accessed=(rows * d + num_rows * d) * 4,

@@ -124,7 +124,8 @@ _CHOICES = {
     "vq": ("auto", "pallas", "xla"),
     "symconv": ("auto", "single", "two"),
     "static_embed_bwd": ("auto", "blocked", "sorted_scatter"),
-    "embed_bwd": ("auto", "pallas", "interpret", "xla"),
+    # pallas2/interpret2 = the 2-way shadow-accumulator ILP variant
+    "embed_bwd": ("auto", "pallas", "pallas2", "interpret", "interpret2", "xla"),
     "prng_impl": ("auto", "threefry", "rbg"),
     "atlas_opt": ("auto", "fused", "interpret", "xla"),
     "attn_pack": ("auto", "pair", "off"),

@@ -153,13 +153,16 @@ def _embed_lookup_bwd(res, g):
         from ..ops.policy import resolve
 
         mode = resolve("embed_bwd")
-        if mode in ("pallas", "interpret"):
+        if mode in ("pallas", "pallas2", "interpret", "interpret2"):
             from ..ops.pallas import embed_bwd as _ek
 
-            if _ek.shape_fits_kernel(rows, num_rows, g.shape[-1]):
+            ilp = 2 if mode.endswith("2") else 1
+            if _ek.shape_fits_kernel(rows, num_rows, g.shape[-1], ilp):
                 # VMEM-accumulated histogram kernel (fp32 accumulation, same
                 # serial duplicate-id semantics as the scatter-add)
-                gt = _ek.embed_grad(ids, g, num_rows, mode == "interpret")
+                gt = _ek.embed_grad(
+                    ids, g, num_rows, mode.startswith("interpret"), ilp
+                )
                 return gt.astype(g.dtype), np.zeros(
                     ids.shape, dtype=jax.dtypes.float0
                 )

@@ -29,16 +29,20 @@ def rng():
     return np.random.default_rng(11)
 
 
+@pytest.mark.parametrize("ilp", [1, 2])
 @pytest.mark.parametrize(
     "rows,num_rows,d",
     [(700, 129, 128), (4096, 1025, 256), (5000, 257, 128)],  # incl. pad path
 )
-def test_parity_fp32(rng, rows, num_rows, d):
+def test_parity_fp32(rng, rows, num_rows, d, ilp):
     ids = jnp.asarray(rng.integers(0, num_rows, size=rows).astype(np.int32))
     g = jnp.asarray(rng.normal(size=(rows, d)).astype(np.float32))
-    out = embed_grad(ids, g, num_rows, True)
+    out = embed_grad(ids, g, num_rows, True, ilp)
     ref = _scatter_ref(ids, g, num_rows)
-    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-6, atol=1e-6)
+    # ilp=1 reproduces the scatter's serial order bit-for-bit; ilp=2 sums the
+    # even/odd streams separately (fp32 reassociation only)
+    tol = dict(rtol=1e-6, atol=1e-6) if ilp == 1 else dict(rtol=1e-3, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), **tol)
 
 
 def test_parity_bf16_cotangents(rng):
@@ -51,16 +55,19 @@ def test_parity_bf16_cotangents(rng):
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-6, atol=1e-6)
 
 
-def test_duplicate_heavy_ids(rng):
-    # ImageNet-like skew: most rows hit a handful of hot codes
+@pytest.mark.parametrize("ilp", [1, 2])
+def test_duplicate_heavy_ids(rng, ilp):
+    # ImageNet-like skew: most rows hit a handful of hot codes; for ilp=2 the
+    # hot rows split across both accumulators and must still sum exactly
     rows, num_rows, d = 2048, 1025, 128
     ids = np.where(
         rng.random(rows) < 0.8, rng.integers(0, 4, size=rows), rng.integers(0, num_rows, size=rows)
     ).astype(np.int32)
     g = jnp.asarray(rng.normal(size=(rows, d)).astype(np.float32))
-    out = embed_grad(jnp.asarray(ids), g, num_rows, True)
+    out = embed_grad(jnp.asarray(ids), g, num_rows, True, ilp)
     ref = _scatter_ref(jnp.asarray(ids), g, num_rows)
-    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-6, atol=1e-6)
+    tol = dict(rtol=1e-6, atol=1e-6) if ilp == 1 else dict(rtol=1e-3, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), **tol)
 
 
 def test_multi_d_block(rng):
@@ -107,12 +114,13 @@ def test_embed_lookup_routes_through_kernel(rng, monkeypatch):
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-6, atol=1e-6)
 
 
-def test_mosaic_lowering():
+@pytest.mark.parametrize("ilp", [1, 2])
+def test_mosaic_lowering(ilp):
     # off-chip Mosaic lowering gate (the trick from tests/test_pallas_mlp.py)
     ids = jnp.zeros(512, jnp.int32)
     g = jnp.zeros((512, 256), jnp.bfloat16)
 
     def f(ids, g):
-        return embed_grad(ids, g, 1025, False)
+        return embed_grad(ids, g, 1025, False, ilp)
 
     jax.jit(f).trace(ids, g).lower(lowering_platforms=("tpu",))
