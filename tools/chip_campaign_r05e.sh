@@ -18,7 +18,10 @@ arm () {
   true
 }
 
-arm EB-i env BENCH_SCALE=imagenet SCHEMANET_EMBED_BWD=pallas python bench.py
+arm EB2-i env BENCH_SCALE=imagenet SCHEMANET_EMBED_BWD=pallas2 python bench.py
 arm FIN-C python bench.py
 arm FIN-I env BENCH_SCALE=imagenet python bench.py
+echo "--- [DG] on-chip dropout-grad confirm (hmean-fused attn kernel) ---" >> $L
+timeout 3600 python tools/check_dropout_grad.py 2>&1 | tail -6 >> $L
+true
 echo "=== r05 campaign part e done $(date -u) ===" >> $L
