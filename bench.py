@@ -156,7 +156,13 @@ def main():
     # row/col stats — at ImageNet scale that turns 2 GB of fp32 edge-Adam
     # state (~4 GB/step of pure HBM sweep) into 4 MB. Ignored under the
     # fused-opt path (which owns its own moment buffers).
-    atlas_moments = os.environ.get("BENCH_ATLAS_MOMENTS", "fp32")
+    # Default: bf16 moments at ImageNet scale (r05 campaign [AM-bi] 334.2 ms
+    # vs [BASE-I] 337.9, +1.1%; accuracy gate [AMG] top-1 0.9385 == the fp32
+    # arm), fp32 at CIFAR scale (unmeasured there — flip only what was
+    # measured). Matches the imagenet YAML's param-group default.
+    atlas_moments = os.environ.get(
+        "BENCH_ATLAS_MOMENTS", "bf16" if scale == "imagenet" else "fp32"
+    )
     if atlas_moments != "fp32" and os.environ.get("BENCH_ATLAS_OPT") != "fused":
         from schemanet_tpu.train.common import adamw_lowmem
 
