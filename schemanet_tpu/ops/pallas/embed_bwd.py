@@ -26,9 +26,18 @@ D-block — the lower bound — and the cost moves to the serial VMEM
 read-modify-write chain, which is the thing being measured (ROADMAP calls
 this arm "revisit only with a Pallas multi-pass histogram").
 
-Opt-in via the kernel policy (``embed_bwd: pallas`` / SCHEMANET_EMBED_BWD)
-until chip-measured; numerics pinned against the scatter path by
-tests/test_embed_bwd.py in interpret mode, Mosaic lowering gated off-chip.
+Opt-in via the kernel policy (``embed_bwd: pallas|pallas2`` /
+SCHEMANET_EMBED_BWD); numerics pinned against the scatter path by
+tests/test_embed_bwd.py in interpret mode, Mosaic MLIR lowering gated
+off-chip.
+
+STATUS (r05, 2026-08-21): the real remote Mosaic compile CRASHES
+(`tpu_compile_helper exit code 1`). On-chip bisect: a dynamic-index VMEM
+store inside `fori_loop` is the trigger — write-only stores and plain
+loop-variable indices crash too; the identical store outside a loop and
+in-loop dynamic READS compile fine. That construct is the essence of this
+kernel, so it stays opt-in awaiting a toolchain fix; the `xla` scatter-add
+remains the shipped default (PERFORMANCE.md #24).
 
 Reference semantics anchor: /root/reference/schema_inference/graph/gnn.py:49-98
 (the embedding whose autodiff emits the scatter).

@@ -32,9 +32,14 @@ symconv     single   [AB10] two 99.8 vs 97.6 single; with ln=xla [X5] 89.7
                      vs [X2] 87.5 — E_sym materialisation wins at both
 static_embed_bwd blocked  [AB2] sorted_scatter 97.4 ~= blocked 97.6 at CIFAR;
                      blocked avoids the scatter at ImageNet scale
-embed_bwd   xla      dynamic-id (instance path) embedding backward; `pallas`
-                     = VMEM-accumulated histogram kernel
-                     (ops/pallas/embed_bwd.py), opt-in pending the r05 A/B
+embed_bwd   xla      dynamic-id (instance path) embedding backward; the
+                     `pallas`/`pallas2` VMEM-histogram kernels
+                     (ops/pallas/embed_bwd.py) are BLOCKED on-chip: the r05
+                     bisect showed in-loop dynamic-index VMEM stores crash
+                     the Mosaic remote compiler (PERFORMANCE.md #24) — kept
+                     for a fixed toolchain, interpret mode works everywhere
+attn_pack   off      r05 [HP-c]: pair-packed d=64 attention LOST (69.39 vs
+                     68.15 ms cifar, PERFORMANCE.md #23); off everywhere
 ==========  =======  =====================================================
 
 Config surface: a ``kernels:`` mapping in the YAML (or ``--set kernels.ln=…``)
@@ -79,7 +84,9 @@ _AUTO_TPU = {
     "symconv": "single",
     "static_embed_bwd": "blocked",
     # dynamic-id embedding backward (instance path, scatter-scale): the VMEM
-    # histogram kernel (ops/pallas/embed_bwd.py) is opt-in until chip-measured
+    # histogram kernel (ops/pallas/embed_bwd.py) crashes the current Mosaic
+    # remote compiler (in-loop dynamic stores — r05 bisect, PERFORMANCE.md
+    # #24); xla scatter-add stays the default until the toolchain fixes it
     "embed_bwd": "xla",
     "prng_impl": "threefry",
     # fused AdamW+projection for the atlas tensors (ops/pallas/atlas_opt.py):
@@ -88,10 +95,9 @@ _AUTO_TPU = {
     "atlas_opt": "xla",
     # pair-packed head_dim-64 attention inside the fused encoder half
     # (ops/pallas/encoder_block.py): packs 2 heads into one 128-deep MXU
-    # score matmul + one block-diagonal AV matmul. Same theoretical MXU
-    # cycles as the padded per-head path — the candidate win is halving the
-    # serial per-head op chain (VERDICT r4 #6). Default off pending the r05
-    # chip A/B; flip only on a measured win.
+    # score matmul + one block-diagonal AV matmul. Measured r05 [HP-c] and
+    # LOST (69.39 vs 68.15 ms at CIFAR — the packing relayouts cost more
+    # than the halved serial op chain saves); stays off, kept for A/B.
     "attn_pack": "off",
 }
 _AUTO_CPU = dict(
